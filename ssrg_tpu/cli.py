@@ -1,0 +1,175 @@
+"""Single CLI entry point.
+
+Replaces the reference's five import-time argparse config modules and three
+entry scripts (``SSRG/main.py``, ``data_process.py``, ``data_augument.py``;
+SURVEY.md §2.10) with one subcommand CLI that populates the dataclass config
+tree — no import-time side effects.
+
+Subcommands:
+- ``train``     node classification on a dataset (reference SSRG/main.py)
+- ``sparsify``  graph sparsification pipeline (reference SSRG/data_process.py)
+- ``augment``   robust augmentation pipeline (reference SSRG/data_augument.py)
+- ``bench``     K-hop SpMM precompute benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model_name", default="sgc",
+                   help="sgc|ssgc|sign|gbp|gamlp|nafs|gcn|wavelet|clean_train")
+    p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--prop_steps", type=int, default=3)
+    p.add_argument("--r", type=float, default=0.5)
+    p.add_argument("--ppr_alpha", type=float, default=0.1)
+    p.add_argument("--message_alpha", type=float, default=0.5)
+    p.add_argument("--q", type=float, default=0.05)
+
+
+def _add_training_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--normalize_times", type=int, default=1)
+    p.add_argument("--num_epochs", type=int, default=300)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--train_batch_size", type=int, default=None)
+    p.add_argument("--eval_batch_size", type=int, default=None)
+    p.add_argument("--spmm_engine", default="auto",
+                   help="auto|dense|coo|ell|pallas")
+
+
+def _add_data_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data_name", default="cora_0_0")
+    p.add_argument("--data_root", default="./sparsity_datasets/simhomo/Planetoid")
+    p.add_argument("--data_split", default="official")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a hermetic SBM dataset instead of files")
+    p.add_argument("--synthetic_nodes", type=int, default=2708)
+    p.add_argument("--synthetic_classes", type=int, default=7)
+    p.add_argument("--synthetic_features", type=int, default=256)
+
+
+def _load_dataset(args):
+    if args.synthetic:
+        from ssrg_tpu.data.synthetic import planetoid_like
+
+        return planetoid_like(
+            num_node=args.synthetic_nodes,
+            num_classes=args.synthetic_classes,
+            num_features=args.synthetic_features,
+            seed=args.seed,
+        )
+    from ssrg_tpu.data.sparsity import load_homo_simplex_sparsity_dataset
+
+    return load_homo_simplex_sparsity_dataset(
+        name=args.data_name, root=args.data_root, split=args.data_split
+    )
+
+
+def cmd_train(args) -> int:
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.train.node_classification import NodeClassification
+
+    dataset = _load_dataset(args)
+    model_cfg = ModelConfig(
+        model_name=args.model_name, num_layers=args.num_layers,
+        dropout=args.dropout, hidden_dim=args.hidden_dim,
+        prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
+        message_alpha=args.message_alpha, q=args.q,
+    )
+    train_cfg = TrainingConfig(
+        seed=args.seed, normalize_times=args.normalize_times,
+        num_epochs=args.num_epochs, lr=args.lr,
+        weight_decay=args.weight_decay,
+        train_batch_size=args.train_batch_size,
+        eval_batch_size=args.eval_batch_size,
+        spmm_engine=args.spmm_engine,
+    )
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(
+        dataset, spec, model_cfg, train_cfg, verbose=args.verbose
+    )
+    print(f"Best val: {task.best_val:.4f}, best test: {task.best_test:.4f}")
+    return 0
+
+
+def cmd_sparsify(args) -> int:
+    from ssrg_tpu.pipelines.sparsify import run_sparsify
+
+    run_sparsify(args)
+    return 0
+
+
+def cmd_augment(args) -> int:
+    from ssrg_tpu.pipelines.augment import run_augment
+
+    run_augment(args)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from ssrg_tpu.bench import run_bench
+
+    run_bench(
+        num_nodes=args.nodes, avg_degree=args.degree,
+        num_features=args.features, prop_steps=args.prop_steps,
+        engine=args.spmm_engine,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ssrg-tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a model (node classification)")
+    _add_model_flags(p_train)
+    _add_training_flags(p_train)
+    _add_data_flags(p_train)
+    p_train.add_argument("--verbose", action="store_true")
+    p_train.set_defaults(fn=cmd_train)
+
+    p_sp = sub.add_parser("sparsify", help="sparsify a dataset (mask features/edges)")
+    p_sp.add_argument("--dataset", default="cora")
+    p_sp.add_argument("--dataroot", default="./datasets/simhomo/")
+    p_sp.add_argument("--seed", type=int, default=2023)
+    p_sp.add_argument("--sparse_rate", type=float, nargs=2, default=[0.6, 0.6])
+    p_sp.add_argument("--out_root", default="./sparsity_datasets/simhomo")
+    p_sp.add_argument("--synthetic", action="store_true")
+    p_sp.set_defaults(fn=cmd_sparsify)
+
+    p_aug = sub.add_parser("augment", help="repair a sparsified dataset")
+    _add_data_flags(p_aug)
+    p_aug.add_argument("--hidden_dim", type=int, default=256)
+    p_aug.add_argument("--dropout", type=float, default=0.5)
+    p_aug.add_argument("--weight_decay", type=float, default=5e-4)
+    p_aug.add_argument("--lr", type=float, default=0.01)
+    p_aug.add_argument("--epochs", type=int, default=200)
+    p_aug.add_argument("--degree_level", type=int, default=1)
+    p_aug.add_argument("--seed", type=int, default=2023)
+    p_aug.add_argument("--data_save_path", default="./augument_datasets/simhomo/")
+    p_aug.set_defaults(fn=cmd_augment)
+
+    p_bench = sub.add_parser("bench", help="K-hop SpMM precompute benchmark")
+    p_bench.add_argument("--nodes", type=int, default=169_343)
+    p_bench.add_argument("--degree", type=float, default=13.7)
+    p_bench.add_argument("--features", type=int, default=128)
+    p_bench.add_argument("--prop_steps", type=int, default=3)
+    p_bench.add_argument("--spmm_engine", default="auto")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

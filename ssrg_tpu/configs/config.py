@@ -1,0 +1,119 @@
+"""Dataclass configuration tree.
+
+Replaces the reference's five import-time argparse modules
+(reference: ``SSRG/configs/*.py`` — module-level ``parser.parse_args()`` that
+side-effect every importing script; SURVEY.md §2.10/§2.13) with one composable,
+side-effect-free config tree. A single CLI entry (``ssrg_tpu/cli.py``) parses
+flags into these dataclasses.
+
+Defaults mirror the reference defaults:
+- model: ``SSRG/configs/model_config.py`` (model "wavelet", K=3, r=0.5,
+  hidden 256, dropout 0.5, ppr_alpha 0.1, message_alpha 0.5, q 0.05,
+  cheby order 3, tolerance 1e-4, scale 0.5)
+- training: ``SSRG/configs/training_config.py`` (seed 2023, 300 epochs,
+  Adam lr 1e-3, wd 1e-5, normalize_times 1)
+- data: ``SSRG/configs/data_config.py``; augmentation:
+  ``SSRG/configs/data_augument_config.py``; sparsify:
+  ``SSRG/configs/data_process_config.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    """Which dataset to load (reference: SSRG/configs/data_config.py:12-14)."""
+
+    data_name: str = "cora_0_0"
+    data_root: str = "./sparsity_datasets/simhomo/Planetoid"
+    data_split: str = "official"
+
+
+@dataclass
+class DataProcessConfig:
+    """Sparsification pipeline (reference: SSRG/configs/data_process_config.py)."""
+
+    dataset: str = "pubmed"
+    dataroot: str = "./datasets/simhomo/"
+    seed: int = 2023
+    sparse_rate: Tuple[float, float] = (0.6, 0.6)  # (feature_rate, edge_rate)
+
+
+@dataclass
+class DataAugmentConfig:
+    """Robust augmentation pipeline (reference: SSRG/configs/data_augument_config.py)."""
+
+    data_name: str = "pubmed_0.6_0.6"
+    data_root: str = "./sparsity_datasets/simhomo/Planetoid"
+    data_save_path: str = "./augument_datasets/simhomo/Planetoid/"
+    data_split: str = "official"
+    dropout: float = 0.5
+    weight_decay: float = 5e-4
+    hidden_dim: int = 256
+    num_layers: int = 3
+    batch_size: int = 300
+    prop_steps: int = 3
+    r: float = 0.5
+    degree_level: int = 1
+    lr: float = 0.01
+    epochs: int = 200
+    candidates_per_deficit: int = 100  # reference samples (deficit)*100 candidates
+
+
+@dataclass
+class WaveletConfig:
+    """Graph-wavelet (GWNN) settings (reference: SSRG/configs/model_config.py:19-25)."""
+
+    approximation_order: int = 3
+    tolerance: float = 1e-4
+    scale: float = 0.5
+    impulse_batch: int = 1024  # reference uses 1000 (base_model.py:237); 1024 aligns to lanes
+
+
+@dataclass
+class ModelConfig:
+    """Model zoo settings (reference: SSRG/configs/model_config.py)."""
+
+    model_name: str = "sgc"
+    num_layers: int = 3
+    dropout: float = 0.5
+    hidden_dim: int = 256
+    prop_steps: int = 3
+    r: float = 0.5            # generalized symmetric-norm exponent
+    ppr_alpha: float = 0.1
+    message_alpha: float = 0.5
+    q: float = 0.05           # magnetic Laplacian phase parameter
+    use_bn: bool = False
+    wavelet: WaveletConfig = field(default_factory=WaveletConfig)
+
+
+@dataclass
+class TrainingConfig:
+    """Training loop settings (reference: SSRG/configs/training_config.py)."""
+
+    seed: int = 2023
+    normalize_times: int = 1
+    num_epochs: int = 300
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    train_batch_size: Optional[int] = None  # None => full-batch
+    eval_batch_size: Optional[int] = None
+    dtype: str = "float32"      # training compute dtype
+    spmm_engine: str = "auto"   # auto | dense | bcoo | coo | pallas
+    mesh_shape: Sequence[int] = ()  # () => single device
+
+
+@dataclass
+class FrameworkConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    data_process: DataProcessConfig = field(default_factory=DataProcessConfig)
+    data_augment: DataAugmentConfig = field(default_factory=DataAugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+
+    def replace(self, **kwargs) -> "FrameworkConfig":
+        return dataclasses.replace(self, **kwargs)

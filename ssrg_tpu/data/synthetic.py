@@ -1,0 +1,120 @@
+"""Synthetic graph generators for tests and benchmarks.
+
+The reference ships (partly truncated) Planetoid pickles but no generator; in
+this framework synthetic graphs are first-class so every subsystem can be
+tested hermetically (SURVEY.md §4: the rebuild must create its test strategy
+from scratch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ssrg_tpu.data.graph import Graph
+
+
+class InMemoryDataset:
+    """Light dataset wrapper over a Graph + splits, satisfying the task-layer
+    protocol ``dataset.{adj,x,y,train_idx,val_idx,test_idx,num_node,...}``
+    (reference call sites: ``SSRG/tasks/node_classification.py:21-22,62``)."""
+
+    def __init__(self, graph: Graph, train_idx, val_idx, test_idx, name="synthetic"):
+        self.graph = graph
+        self.name = name
+        self.train_idx = np.asarray(train_idx, dtype=np.int64)
+        self.val_idx = np.asarray(val_idx, dtype=np.int64)
+        self.test_idx = np.asarray(test_idx, dtype=np.int64)
+
+    def __getattr__(self, item):
+        # delegate graph attributes (adj, x, y, num_node, ...)
+        return getattr(self.__dict__["graph"], item)
+
+    def __repr__(self):
+        return f"InMemoryDataset({self.name}, {self.graph!r})"
+
+
+def random_graph(
+    num_node: int,
+    avg_degree: float,
+    num_features: int = 32,
+    num_classes: int = 4,
+    seed: int = 0,
+    weighted: bool = False,
+) -> Graph:
+    """Erdos–Renyi-ish random graph with random features/labels."""
+    rng = np.random.default_rng(seed)
+    num_edges = int(num_node * avg_degree / 2)
+    row = rng.integers(0, num_node, size=num_edges)
+    col = rng.integers(0, num_node, size=num_edges)
+    keep = row != col
+    row, col = row[keep], col[keep]
+    w = rng.uniform(0.5, 1.5, size=row.shape).astype(np.float32) if weighted else np.ones(row.shape, np.float32)
+    x = rng.normal(size=(num_node, num_features)).astype(np.float32)
+    y = rng.integers(0, num_classes, size=num_node)
+    return Graph(row, col, w, num_node, "UUU" if not weighted else "UUW", x=x, y=y)
+
+
+def sbm_graph(
+    num_node: int = 1200,
+    num_classes: int = 4,
+    num_features: int = 64,
+    p_in: float = 0.02,
+    p_out: float = 0.002,
+    feature_signal: float = 1.0,
+    seed: int = 0,
+) -> Graph:
+    """Stochastic-block-model graph with class-correlated Gaussian features.
+
+    A homophilous community graph on which spectral precompute models (SGC and
+    friends) should reach high accuracy — the hermetic stand-in for cora in
+    accuracy-band tests.
+    """
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_node)
+    # sample intra/inter edges block-wise without materializing N^2
+    rows, cols = [], []
+    # expected edges: sample pair candidates
+    n_cand = int(num_node * num_node * max(p_in, p_out) * 1.2) + 1
+    r = rng.integers(0, num_node, size=n_cand)
+    c = rng.integers(0, num_node, size=n_cand)
+    same = y[r] == y[c]
+    u = rng.uniform(size=n_cand)
+    # accept with prob p_in/p_max or p_out/p_max depending on block
+    p_max = max(p_in, p_out)
+    accept = np.where(same, u < p_in / p_max, u < p_out / p_max)
+    accept &= r != c
+    rows, cols = r[accept], c[accept]
+    # class-mean features + noise
+    means = rng.normal(scale=feature_signal, size=(num_classes, num_features))
+    x = means[y] + rng.normal(size=(num_node, num_features))
+    w = np.ones(rows.shape, np.float32)
+    return Graph(rows, cols, w, num_node, "UUU", x=x.astype(np.float32), y=y)
+
+
+def planetoid_like(
+    num_node: int = 1200,
+    num_classes: int = 4,
+    num_features: int = 64,
+    train_per_class: int = 20,
+    num_val: int = 200,
+    num_test: int = 400,
+    seed: int = 0,
+    **sbm_kwargs,
+) -> InMemoryDataset:
+    """SBM graph + the Planetoid official split protocol: ``train_per_class``
+    per class, next ``num_val`` nodes val, last ``num_test`` nodes test
+    (reference: ``sparsity_datasets/simhomo/planetoid.py:165-175``)."""
+    g = sbm_graph(num_node, num_classes, num_features, seed=seed, **sbm_kwargs)
+    rng = np.random.default_rng(seed + 1)
+    train = []
+    for k in range(num_classes):
+        idx_k = np.where(g.y == k)[0]
+        train.extend(rng.permutation(idx_k)[:train_per_class])
+    train = np.sort(np.asarray(train))
+    rest = np.setdiff1d(np.arange(num_node), train)
+    rest = rng.permutation(rest)
+    val = np.sort(rest[:num_val])
+    test = np.sort(rest[num_val : num_val + num_test])
+    return InMemoryDataset(g, train, val, test, name=f"sbm_{num_node}")

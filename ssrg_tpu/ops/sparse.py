@@ -1,0 +1,276 @@
+"""Device-side sparse adjacency formats and SpMM engines.
+
+TPU-native replacement for the reference's CPU CSR SpMM kernels
+(``SSRG/operators/csrc/matmul.c`` — scalar/OMP/AVX row loops — and the
+cuSPARSE variant ``cudamatmul.c``; SURVEY.md §2.1). Instead of translating the
+row-loop, each format here is a JAX pytree whose ``spmm(X)`` maps onto the TPU
+compute units:
+
+- ``DenseAdj``   — adjacency as a dense matrix; SpMM = one MXU matmul. The
+  fastest choice whenever N is small enough that N×N fits in HBM (Planetoid
+  scale): at N=4k the dense matmul runs at MXU speed-of-light, far above any
+  gather-based sparse scheme.
+- ``COOAdj``     — row-sorted, padded COO; SpMM = gather(X, col) ⊙ w →
+  ``segment_sum`` by row, chunked under ``lax.scan`` so the materialized
+  gather stays bounded. XLA lowers the sorted segment-sum to an efficient
+  scatter; padding keeps every shape static (XLA requirement).
+- ``ELLAdj``     — row-padded ELLPACK (each row padded to max-degree buckets);
+  SpMM = dense gather + weighted sum over the neighbor axis. Good when the
+  degree distribution is tight; also the layout consumed by the Pallas kernel
+  (``ssrg_tpu.ops.pallas_spmm``).
+
+All engines compute strictly in float32 (accumulation precision) unless the
+input is lower precision and ``preferred_element_type`` promotes it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Dense adjacency
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseAdj:
+    """Adjacency stored dense. SpMM rides the MXU directly."""
+
+    mat: jnp.ndarray  # [N, M]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.mat.shape
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.dot(self.mat, x, preferred_element_type=jnp.float32)
+
+    def tree_flatten(self):
+        return (self.mat,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-COO adjacency
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class COOAdj:
+    """Row-sorted COO, padded to a multiple of ``chunk``.
+
+    Padding entries have ``val == 0`` and ``row == col == 0`` so they
+    contribute nothing. ``spmm`` scans over nnz chunks; each chunk gathers
+    ``chunk`` rows of X, scales by edge weight, and segment-sums into the
+    output. Keeping the chunk on-chip bounds peak memory at
+    ``chunk × F`` instead of ``nnz × F``.
+    """
+
+    row: jnp.ndarray   # int32 [nnz_pad]
+    col: jnp.ndarray   # int32 [nnz_pad]
+    val: jnp.ndarray   # f32   [nnz_pad]
+    n_rows: int
+    n_cols: int
+    chunk: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def nnz_padded(self) -> int:
+        return int(self.row.shape[0])
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        nnz_pad = self.row.shape[0]
+        num_chunks = nnz_pad // self.chunk
+        if num_chunks <= 1:
+            gathered = jnp.take(x, self.col, axis=0) * self.val[:, None]
+            return jax.ops.segment_sum(
+                gathered, self.row, num_segments=self.n_rows
+            )
+
+        rows = self.row.reshape(num_chunks, self.chunk)
+        cols = self.col.reshape(num_chunks, self.chunk)
+        vals = self.val.reshape(num_chunks, self.chunk)
+
+        def step(acc, inputs):
+            r, c, v = inputs
+            gathered = jnp.take(x, c, axis=0) * v[:, None]
+            acc = acc + jax.ops.segment_sum(gathered, r, num_segments=self.n_rows)
+            return acc, None
+
+        init = jnp.zeros((self.n_rows, x.shape[1]), dtype=jnp.float32)
+        out, _ = jax.lax.scan(step, init, (rows, cols, vals))
+        return out.astype(x.dtype) if x.dtype != jnp.float32 else out
+
+    def tree_flatten(self):
+        return (self.row, self.col, self.val), (self.n_rows, self.n_cols, self.chunk)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+# ---------------------------------------------------------------------------
+# ELLPACK adjacency
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ELLAdj:
+    """Row-padded ELLPACK: per row, up to ``width`` (neighbor, weight) slots.
+
+    SpMM = ``X[cols]`` gather of shape [N, width, F] reduced over ``width``,
+    chunked over row blocks to bound the gather. Padding slots have weight 0
+    and column 0.
+    """
+
+    cols: jnp.ndarray   # int32 [N_pad, width]
+    vals: jnp.ndarray   # f32   [N_pad, width]
+    n_rows: int
+    n_cols: int
+    row_block: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def width(self) -> int:
+        return int(self.cols.shape[1])
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        n_pad = self.cols.shape[0]
+        nb = n_pad // self.row_block
+        cols = self.cols.reshape(nb, self.row_block, self.width)
+        vals = self.vals.reshape(nb, self.row_block, self.width)
+
+        def block(carry, inputs):
+            c, v = inputs  # [row_block, width]
+            gathered = jnp.take(x, c.reshape(-1), axis=0).reshape(
+                self.row_block, self.width, x.shape[1]
+            )
+            out = jnp.einsum(
+                "rw,rwf->rf", v, gathered, preferred_element_type=jnp.float32
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(block, None, (cols, vals))
+        out = outs.reshape(n_pad, x.shape[1])[: self.n_rows]
+        return out.astype(x.dtype) if x.dtype != jnp.float32 else out
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), (self.n_rows, self.n_cols, self.row_block)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+Adjacency = Union[DenseAdj, COOAdj, ELLAdj]
+
+
+# ---------------------------------------------------------------------------
+# Host-side builders
+# ---------------------------------------------------------------------------
+
+
+def build_dense(adj: sp.spmatrix, dtype=jnp.float32) -> DenseAdj:
+    return DenseAdj(jnp.asarray(adj.toarray(), dtype=dtype))
+
+
+def build_coo(adj: sp.spmatrix, chunk: int = 1 << 19) -> COOAdj:
+    """Build a row-sorted padded COOAdj from any scipy sparse matrix."""
+    coo = adj.tocoo()
+    order = np.argsort(coo.row, kind="stable")
+    row = coo.row[order].astype(np.int32)
+    col = coo.col[order].astype(np.int32)
+    val = coo.data[order].astype(np.float32)
+    nnz = row.shape[0]
+    chunk = min(chunk, max(_round_up(nnz, 512), 512))
+    nnz_pad = _round_up(max(nnz, 1), chunk)
+    pad = nnz_pad - nnz
+    if pad:
+        row = np.concatenate([row, np.zeros(pad, np.int32)])
+        col = np.concatenate([col, np.zeros(pad, np.int32)])
+        val = np.concatenate([val, np.zeros(pad, np.float32)])
+    return COOAdj(
+        jnp.asarray(row), jnp.asarray(col), jnp.asarray(val),
+        n_rows=adj.shape[0], n_cols=adj.shape[1], chunk=chunk,
+    )
+
+
+def build_ell(
+    adj: sp.spmatrix,
+    row_block: int = 256,
+    width: Optional[int] = None,
+    lane_pad: int = 8,
+) -> ELLAdj:
+    """Build a row-padded ELLAdj. ``width`` defaults to max degree (rounded up
+    to ``lane_pad``); rows longer than ``width`` raise (use COOAdj instead)."""
+    csr = adj.tocsr()
+    n, m = csr.shape
+    deg = np.diff(csr.indptr)
+    max_deg = int(deg.max()) if n else 0
+    if width is None:
+        width = _round_up(max(max_deg, 1), lane_pad)
+    elif max_deg > width:
+        raise ValueError(f"max degree {max_deg} exceeds ELL width {width}")
+    n_pad = _round_up(max(n, 1), row_block)
+    cols = np.zeros((n_pad, width), np.int32)
+    vals = np.zeros((n_pad, width), np.float32)
+    # vectorized fill: position of each nnz within its row
+    if csr.nnz:
+        pos = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+        rows_of = np.repeat(np.arange(n), deg)
+        cols[rows_of, pos] = csr.indices
+        vals[rows_of, pos] = csr.data
+    return ELLAdj(
+        jnp.asarray(cols), jnp.asarray(vals),
+        n_rows=n, n_cols=m, row_block=row_block,
+    )
+
+
+def device_adjacency(
+    adj: sp.spmatrix,
+    engine: str = "auto",
+    dense_threshold: int = 8192,
+    **kwargs,
+) -> Adjacency:
+    """Pick a device format for a scipy sparse adjacency.
+
+    ``auto``: dense for small graphs (MXU wins outright), sorted-COO
+    otherwise. ``pallas`` builds the format consumed by the Pallas kernel.
+    """
+    if engine == "auto":
+        engine = "dense" if adj.shape[0] <= dense_threshold else "coo"
+    if engine == "dense":
+        return build_dense(adj, **kwargs)
+    if engine == "coo":
+        return build_coo(adj, **kwargs)
+    if engine == "ell":
+        return build_ell(adj, **kwargs)
+    if engine == "pallas":
+        from ssrg_tpu.ops.pallas_spmm import build_pallas_csr
+
+        return build_pallas_csr(adj, **kwargs)
+    raise ValueError(f"unknown spmm engine: {engine!r}")

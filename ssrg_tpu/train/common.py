@@ -1,0 +1,97 @@
+"""Shared training utilities: metrics, seeding, optimizer, train state.
+
+Replaces the reference's ``SSRG/tasks/utils.py`` train/eval helpers and
+``SSRG/utils.py`` seeding with jitted JAX equivalents (SURVEY.md §2.7/§2.10).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """Seed python/numpy and return a JAX PRNG key
+    (reference: SSRG/utils.py:10-18 seed_everything)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """argmax accuracy (reference: tasks/utils.py:14-18)."""
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if weights is None:
+        return losses.mean()
+    denom = jnp.maximum(weights.sum(), 1.0)
+    return (losses * weights).sum() / denom
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """Adam with decoupled-from-schedule L2 added to the gradient before the
+    moment updates — the semantics of ``torch.optim.Adam(weight_decay=wd)``
+    used by the reference (``tasks/node_classification.py:26-27``)."""
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.adam(lr)
+        )
+    return optax.adam(lr)
+
+
+class TrainState(train_state.TrainState):
+    """TrainState carrying optional BatchNorm statistics."""
+
+    batch_stats: Optional[Dict[str, Any]] = None
+
+
+def create_train_state(
+    module,
+    rng: jax.Array,
+    example_inputs,
+    lr: float,
+    weight_decay: float,
+    **apply_kwargs,
+) -> TrainState:
+    variables = module.init(
+        {"params": rng, "dropout": rng}, example_inputs, train=False, **apply_kwargs
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    return TrainState.create(
+        apply_fn=module.apply,
+        params=params,
+        tx=make_optimizer(lr, weight_decay),
+        batch_stats=batch_stats,
+    )
+
+
+def batch_iterator(idx: np.ndarray, batch_size: int, rng: np.random.Generator,
+                   shuffle: bool = True):
+    """Static-shape minibatch index iterator: shuffles, pads the last batch by
+    wrapping, and yields (batch_idx [B], weight [B]) with weight 0 on padding
+    so loss/metrics are exact. One compiled shape for all batches."""
+    n = idx.shape[0]
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    shuffled = idx[order]
+    num_batches = -(-n // batch_size)
+    for b in range(num_batches):
+        lo = b * batch_size
+        hi = min(lo + batch_size, n)
+        batch = shuffled[lo:hi]
+        w = np.ones(hi - lo, np.float32)
+        if hi - lo < batch_size:
+            pad = batch_size - (hi - lo)
+            batch = np.concatenate([batch, shuffled[:pad]])
+            w = np.concatenate([w, np.zeros(pad, np.float32)])
+        yield batch, w

@@ -1,0 +1,334 @@
+"""Node classification task.
+
+TPU-native rebuild of the reference task layer
+(``SSRG/tasks/node_classification.py:13-146`` + the train/eval steps in
+``tasks/utils.py:105-161``; SURVEY.md §2.7, §3.1): preprocess (normalize →
+K-hop propagate → aggregate) runs once as compiled device code; training is a
+jitted optax step over the precomputed features; the best-val→test protocol
+and multi-run mean±std match the reference exactly.
+
+Differences by design:
+- Preprocessing produces a stacked hop tensor on device via ``lax.scan`` —
+  no ctypes, no per-epoch host↔device feature copies (the reference moves
+  ``processed_feature[idx]`` H2D every step, ``base_model.py:84-87``).
+- Mini-batches are static-shape index gathers (padded last batch) so the
+  whole epoch runs through one compiled step function.
+- ``normalize_times`` repeats re-initialize parameters per run (the reference
+  silently continues training the same parameters across repeats).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+from ssrg_tpu.models.zoo import ModelSpec, PrecomputeModel
+from ssrg_tpu.ops.combine import make_message_op
+from ssrg_tpu.ops.propagate import propagate
+from ssrg_tpu.ops.sparse import device_adjacency
+from ssrg_tpu.train.common import (
+    TrainState,
+    accuracy,
+    batch_iterator,
+    create_train_state,
+    cross_entropy_loss,
+    seed_everything,
+)
+
+
+@dataclass
+class Prepared:
+    """Result of the preprocess phase (reference base_model.preprocess)."""
+
+    module: PrecomputeModel
+    inputs: jnp.ndarray            # [N, D] or hop stack [K+1, N, F]
+    hops_layout: bool              # True when inputs is the hop stack
+    adj_device: Any = None         # device adjacency for naive GCN / (phi, phi_inv)
+    preprocess_seconds: float = 0.0
+
+
+def prepare(
+    spec: ModelSpec,
+    dataset,
+    model_cfg: ModelConfig,
+    training_cfg: TrainingConfig,
+) -> Prepared:
+    """Run the one-time precompute: adjacency normalization (host), K-hop
+    propagation (device), and non-learnable aggregation (device)."""
+    t0 = time.time()
+    x = jnp.asarray(dataset.x, dtype=jnp.float32)
+    engine = training_cfg.spmm_engine
+
+    if spec.spectral:
+        from ssrg_tpu.models.wavelet import prepare_spectral
+
+        phi, phi_inv = prepare_spectral(
+            dataset.adj, model_cfg.wavelet, engine=engine
+        )
+        module = spec.module
+        return Prepared(module, x, False, adj_device=(phi, phi_inv),
+                        preprocess_seconds=time.time() - t0)
+
+    if spec.naive:
+        adj_norm = spec.construct_adj(dataset.adj, model_cfg)
+        adj_dev = device_adjacency(adj_norm, engine)
+        return Prepared(spec.module, x, False, adj_device=adj_dev,
+                        preprocess_seconds=time.time() - t0)
+
+    if spec.graph_op is None:
+        return Prepared(spec.module, x, False,
+                        preprocess_seconds=time.time() - t0)
+
+    adj_norm = spec.construct_adj(dataset.adj, model_cfg)
+    if isinstance(adj_norm, tuple):
+        raise NotImplementedError(
+            "multi-adjacency graph ops (magnetic/two_dir/two_order) are exposed "
+            "via ssrg_tpu.ops.propagate_{complex,multi}; the shipped zoo uses "
+            "single-adjacency ops only (reference parity, SURVEY.md §2.6)"
+        )
+    adj_dev = device_adjacency(adj_norm, engine)
+    hops = propagate(adj_dev, x, spec.prop_steps)
+    hops.block_until_ready()
+
+    if spec.pre_msg_learnable:
+        # aggregation is trainable: runs per-batch inside forward
+        return Prepared(spec.module, hops, True,
+                        preprocess_seconds=time.time() - t0)
+
+    # aggregate now, once (reference base_model.py:38-44)
+    msg = spec.module.msg_op
+    if msg is not None:
+        variables = msg.init(jax.random.PRNGKey(0), hops)
+        aggregated = msg.apply(variables, hops)
+        module = spec.module.clone(msg_op=None)
+    else:
+        aggregated, module = hops[-1], spec.module
+    aggregated.block_until_ready()
+    return Prepared(module, aggregated, False,
+                    preprocess_seconds=time.time() - t0)
+
+
+def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
+    """Build jitted train/eval steps. ``idx`` (when not None) selects logits
+    after a full-graph forward (naive GCN / spectral); otherwise inputs are
+    already the batch rows."""
+
+    def forward(params, batch_stats, inputs, train, rng):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        kwargs = {"train": train}
+        if adj_device is not None:
+            kwargs["adj"] = adj_device
+        out = module.apply(
+            variables,
+            inputs,
+            rngs={"dropout": rng} if train else None,
+            mutable=["batch_stats"] if (train and has_bn) else False,
+            **kwargs,
+        )
+        if train and has_bn:
+            logits, new_vars = out
+            return logits, new_vars["batch_stats"]
+        return out, batch_stats
+
+    @jax.jit
+    def train_step(state: TrainState, inputs, labels, weights, idx, rng):
+        def loss_fn(params):
+            logits, new_bs = forward(params, state.batch_stats, inputs, True, rng)
+            if idx is not None:
+                logits = logits[idx]
+            loss = cross_entropy_loss(logits, labels, weights)
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if has_bn:
+            state = state.replace(batch_stats=new_bs)
+        return state, loss, accuracy(logits, labels)
+
+    @jax.jit
+    def eval_step(state: TrainState, inputs, labels, idx):
+        logits, _ = forward(state.params, state.batch_stats, inputs, False, None)
+        if idx is not None:
+            logits = logits[idx]
+        return accuracy(logits, labels), logits
+
+    return train_step, eval_step
+
+
+class NodeClassification:
+    """Train/eval orchestrator with the reference protocol:
+    best-val→test selection, optional post-propagation, multi-run mean±std
+    (``tasks/node_classification.py:45-119``)."""
+
+    def __init__(
+        self,
+        dataset,
+        spec: ModelSpec,
+        model_cfg: ModelConfig,
+        training_cfg: TrainingConfig,
+        post_graph_op: Optional[str] = None,
+        post_msg_aggr: str = "mean",
+        verbose: bool = False,
+        run: bool = True,
+    ):
+        self.dataset = dataset
+        self.spec = spec
+        self.model_cfg = model_cfg
+        self.cfg = training_cfg
+        self.post_graph_op = post_graph_op
+        self.post_msg_aggr = post_msg_aggr
+        self.verbose = verbose
+        self.record = {"val_acc": [], "test_acc": []}
+
+        self.labels = jnp.asarray(dataset.y)
+        self.train_idx = np.asarray(dataset.train_idx)
+        self.val_idx = np.asarray(dataset.val_idx)
+        self.test_idx = np.asarray(dataset.test_idx)
+
+        self.prepared = prepare(spec, dataset, model_cfg, training_cfg)
+        if run:
+            for i in range(training_cfg.normalize_times):
+                self.execute(seed=training_cfg.seed + i)
+            if training_cfg.normalize_times > 1 and verbose:
+                v, t = self.record["val_acc"], self.record["test_acc"]
+                print(
+                    f"Mean Val ± Std Val: {np.mean(v):.4f}±{np.std(v, ddof=1):.4f}, "
+                    f"Mean Test ± Std Test: {np.mean(t):.4f}±{np.std(t, ddof=1):.4f}"
+                )
+
+    # -- public results ----------------------------------------------------
+
+    @property
+    def best_val(self) -> float:
+        return float(np.mean(self.record["val_acc"]))
+
+    @property
+    def best_test(self) -> float:
+        return float(np.mean(self.record["test_acc"]))
+
+    def get_test_acc(self) -> float:
+        return self.best_test
+
+    # -- internals ---------------------------------------------------------
+
+    def _slice_inputs(self, idx):
+        inp = self.prepared.inputs
+        if self.prepared.hops_layout:
+            return inp[:, idx]
+        return inp[idx]
+
+    def execute(self, seed: int = 2023) -> Tuple[float, float]:
+        p = self.prepared
+        cfg = self.cfg
+        rng = seed_everything(seed)
+        np_rng = np.random.default_rng(seed)
+
+        init_inputs = (
+            self._slice_inputs(self.train_idx[:2])
+            if p.adj_device is None
+            else p.inputs
+        )
+        init_kwargs = {"adj": p.adj_device} if p.adj_device is not None else {}
+        rng, init_rng = jax.random.split(rng)
+        state = create_train_state(
+            p.module, init_rng, init_inputs, cfg.lr, cfg.weight_decay, **init_kwargs
+        )
+        has_bn = state.batch_stats is not None
+        train_step, eval_step = _make_step_fns(p.module, p.adj_device, has_bn)
+
+        full_graph = p.adj_device is not None
+        if full_graph:
+            train_in = val_in = test_in = p.inputs
+            train_sel = jnp.asarray(self.train_idx)
+            val_sel = jnp.asarray(self.val_idx)
+            test_sel = jnp.asarray(self.test_idx)
+        else:
+            train_in = self._slice_inputs(self.train_idx)
+            val_in = self._slice_inputs(self.val_idx)
+            test_in = self._slice_inputs(self.test_idx)
+            train_sel = val_sel = test_sel = None
+
+        y_train = self.labels[self.train_idx]
+        y_val = self.labels[self.val_idx]
+        y_test = self.labels[self.test_idx]
+
+        best_val = best_test = 0.0
+        minibatch = cfg.train_batch_size is not None and not full_graph
+        for epoch in range(cfg.num_epochs):
+            rng, step_rng = jax.random.split(rng)
+            if minibatch:
+                losses = []
+                for batch, w in batch_iterator(
+                    self.train_idx, cfg.train_batch_size, np_rng
+                ):
+                    rng, step_rng = jax.random.split(rng)
+                    state, loss, _ = train_step(
+                        state,
+                        self._slice_inputs(batch),
+                        self.labels[batch],
+                        jnp.asarray(w),
+                        None,
+                        step_rng,
+                    )
+                    losses.append(float(loss))
+                loss = float(np.mean(losses))
+            else:
+                state, loss, _ = train_step(
+                    state, train_in, y_train, None, train_sel, step_rng
+                )
+            acc_val, _ = eval_step(state, val_in, y_val, val_sel)
+            acc_test, _ = eval_step(state, test_in, y_test, test_sel)
+            acc_val, acc_test = float(acc_val), float(acc_test)
+            if self.verbose and cfg.normalize_times == 1:
+                print(
+                    f"Epoch: {epoch + 1:03d}, loss_train: {float(loss):.4f}, "
+                    f"acc_val: {acc_val:.4f}, acc_test: {acc_test:.4f}"
+                )
+            if acc_val > best_val:
+                best_val, best_test = acc_val, acc_test
+
+        if self.post_graph_op is not None:
+            acc_val, acc_test = self._postprocess(state, eval_step)
+            if acc_val > best_val:
+                best_val, best_test = acc_val, acc_test
+
+        self.record["val_acc"].append(best_val)
+        self.record["test_acc"].append(best_test)
+        self.state = state
+        return best_val, best_test
+
+    def _postprocess(self, state, eval_step) -> Tuple[float, float]:
+        """Label-propagation postprocess: re-propagate softmax outputs through
+        a (non-learnable) post graph op and re-score
+        (reference ``base_model.postprocess`` + task ``postprocess``,
+        ``node_classification.py:121-146``). Runs on device, unlike the
+        reference's CPU numpy detour."""
+        from ssrg_tpu.models.zoo import GRAPH_OPS
+
+        p = self.prepared
+        all_idx = np.arange(self.dataset.num_node)
+        if p.adj_device is not None:
+            _, logits = eval_step(state, p.inputs, self.labels, jnp.asarray(all_idx))
+        else:
+            _, logits = eval_step(
+                state, self._slice_inputs(all_idx), self.labels, None
+            )
+        probs = jax.nn.softmax(logits, axis=1)
+        post_adj = GRAPH_OPS[self.post_graph_op](self.dataset.adj, self.model_cfg)
+        post_dev = device_adjacency(post_adj, self.cfg.spmm_engine)
+        hops = propagate(post_dev, probs, self.spec.prop_steps)
+        msg = make_message_op(self.post_msg_aggr)
+        out = msg.apply(msg.init(jax.random.PRNGKey(0), hops), hops)
+        val_acc = accuracy(out[self.val_idx], self.labels[self.val_idx])
+        test_acc = accuracy(out[self.test_idx], self.labels[self.test_idx])
+        return float(val_acc), float(test_acc)

@@ -1,0 +1,76 @@
+"""End-to-end training: the full L0–L7 slice on a hermetic SBM dataset
+(SURVEY.md §4(d) — accuracy-band tests; §7 step 6 minimum slice).
+
+An SBM community graph with class-correlated features is separable by
+spectral precompute models; each model must clearly beat chance and reach a
+high accuracy band within a modest epoch budget."""
+
+import numpy as np
+import pytest
+
+from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+from ssrg_tpu.data.synthetic import planetoid_like
+from ssrg_tpu.models.zoo import load_model
+from ssrg_tpu.train.node_classification import NodeClassification
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return planetoid_like(num_node=800, num_classes=4, num_features=48, seed=0)
+
+
+def _run(dataset, model_name, epochs=120, **model_kwargs):
+    model_cfg = ModelConfig(
+        model_name=model_name, hidden_dim=64, prop_steps=3, num_layers=2,
+        **model_kwargs,
+    )
+    train_cfg = TrainingConfig(num_epochs=epochs, normalize_times=1, seed=7, lr=0.01)
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, model_cfg, train_cfg)
+    return task.best_val, task.best_test
+
+
+@pytest.mark.parametrize("model_name", ["sgc", "ssgc", "gbp", "nafs"])
+def test_precomputed_models_learn(dataset, model_name):
+    val, test = _run(dataset, model_name)
+    assert test > 0.75, f"{model_name}: test acc {test:.3f}"
+
+
+@pytest.mark.parametrize("model_name", ["sign", "gamlp"])
+def test_learnable_aggregation_models_learn(dataset, model_name):
+    val, test = _run(dataset, model_name, dropout=0.3)
+    assert test > 0.75, f"{model_name}: test acc {test:.3f}"
+
+
+def test_gcn_learns(dataset):
+    val, test = _run(dataset, "gcn", epochs=150, dropout=0.3)
+    assert test > 0.70, f"gcn: test acc {test:.3f}"
+
+
+def test_minibatch_matches_protocol(dataset):
+    model_cfg = ModelConfig(model_name="sgc", prop_steps=3)
+    train_cfg = TrainingConfig(
+        num_epochs=40, normalize_times=1, train_batch_size=64, seed=7, lr=0.01
+    )
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, model_cfg, train_cfg)
+    assert task.best_test > 0.7
+
+
+def test_normalize_times_statistics(dataset):
+    model_cfg = ModelConfig(model_name="sgc", prop_steps=2)
+    train_cfg = TrainingConfig(num_epochs=30, normalize_times=3, seed=7, lr=0.01)
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, model_cfg, train_cfg)
+    assert len(task.record["test_acc"]) == 3
+    assert np.std(task.record["test_acc"]) < 0.2
+
+
+def test_postprocess_label_propagation(dataset):
+    model_cfg = ModelConfig(model_name="sgc", prop_steps=2)
+    train_cfg = TrainingConfig(num_epochs=40, normalize_times=1, seed=7, lr=0.01)
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(
+        dataset, spec, model_cfg, train_cfg, post_graph_op="sym", post_msg_aggr="mean"
+    )
+    assert task.best_test > 0.7

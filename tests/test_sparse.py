@@ -1,0 +1,69 @@
+"""SpMM engine parity: every device format must match scipy exactly
+(f32 tolerances) on random CSR matrices — the rebuild's version of the
+reference's implicit scipy-vs-C-kernel cross-check
+(reference: SSRG/operators/base_operator.py:309-314; SURVEY.md §4(b))."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ssrg_tpu.ops.sparse import build_coo, build_dense, build_ell, device_adjacency
+
+
+def _random_csr(n, m, density, seed=0):
+    rng = np.random.default_rng(seed)
+    mat = sp.random(
+        n, m, density=density, format="csr", random_state=np.random.RandomState(seed),
+        data_rvs=lambda k: rng.normal(size=k).astype(np.float32),
+    )
+    return mat.astype(np.float32)
+
+
+@pytest.mark.parametrize("builder", [build_dense, build_coo, build_ell])
+@pytest.mark.parametrize(
+    "n,m,f,density",
+    [(64, 64, 16, 0.1), (200, 200, 33, 0.05), (301, 301, 8, 0.02)],
+)
+def test_spmm_matches_scipy(builder, n, m, f, density):
+    adj = _random_csr(n, m, density, seed=n)
+    x = np.random.default_rng(1).normal(size=(m, f)).astype(np.float32)
+    expected = adj @ x
+    got = np.asarray(builder(adj).spmm(x))
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_coo_chunked_matches_unchunked():
+    adj = _random_csr(500, 500, 0.05, seed=7)
+    x = np.random.default_rng(2).normal(size=(500, 12)).astype(np.float32)
+    small_chunks = build_coo(adj, chunk=512)
+    assert small_chunks.nnz_padded % small_chunks.chunk == 0
+    np.testing.assert_allclose(
+        np.asarray(small_chunks.spmm(x)), adj @ x, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_empty_rows_and_weighted():
+    # rows with no nonzeros must produce zero rows
+    adj = sp.csr_matrix(
+        (np.array([2.0, 0.5], np.float32), (np.array([0, 3]), np.array([1, 2]))),
+        shape=(5, 5),
+    )
+    x = np.eye(5, dtype=np.float32)
+    for builder in (build_dense, build_coo, build_ell):
+        out = np.asarray(builder(adj).spmm(x))
+        np.testing.assert_allclose(out, adj.toarray(), atol=1e-6)
+
+
+def test_device_adjacency_auto():
+    small = _random_csr(32, 32, 0.2)
+    big = _random_csr(9000, 9000, 0.0005)
+    from ssrg_tpu.ops.sparse import COOAdj, DenseAdj
+
+    assert isinstance(device_adjacency(small, "auto"), DenseAdj)
+    assert isinstance(device_adjacency(big, "auto"), COOAdj)
+
+
+def test_ell_rejects_overflow():
+    adj = _random_csr(50, 50, 0.3, seed=3)
+    with pytest.raises(ValueError):
+        build_ell(adj, width=1)
