@@ -1,0 +1,160 @@
+"""K-hop SpMM precompute benchmark — the framework's headline metric.
+
+Measures edges/s for the K-hop propagation (the reference's hot loop:
+``FloatCSRMulDenseOMP`` in ``SSRG/operators/csrc/matmul.c:23-40`` called K
+times per feature matrix; BASELINE.md north star) on the current JAX default
+device, and compares against a baseline on the host CPU:
+
+1. the reference's own prebuilt C OpenMP kernel (``libmatmul.so``) when the
+   reference checkout is present (exact apples-to-apples), else
+2. scipy CSR @ dense (the reference's non-Linux fallback path,
+   ``base_operator.py:309-314``).
+
+edges/s = iterations * K * nnz / wall_time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+REFERENCE_SO = (
+    "/root/reference/Scalable Spectral Robust GNN/operators/csrc/libmatmul.so"
+)
+
+
+def make_benchmark_graph(
+    num_nodes: int, avg_degree: float, num_features: int, seed: int = 0
+):
+    """Random graph with ogbn-arxiv-like statistics + sym normalization."""
+    from ssrg_tpu.data.synthetic import random_graph
+    from ssrg_tpu.ops.normalize import sym_norm
+
+    g = random_graph(num_nodes, avg_degree, num_features, seed=seed)
+    adj_norm = sym_norm(g.adj, 0.5)
+    return adj_norm, g.x
+
+
+def _reference_kernel(adj: sp.csr_matrix):
+    """ctypes handle to the reference's OMP CSR kernel, or None."""
+    if not os.path.exists(REFERENCE_SO):
+        return None
+    try:
+        import ctypes
+        import numpy.ctypeslib as ctl
+
+        lib = ctypes.CDLL(REFERENCE_SO)
+        arr_f = ctl.ndpointer(dtype=np.float32, ndim=1, flags="CONTIGUOUS")
+        arr_i = ctl.ndpointer(dtype=np.int32, ndim=1, flags="CONTIGUOUS")
+        fn = lib.FloatCSRMulDenseOMP
+        fn.argtypes = [arr_f, arr_f, arr_i, arr_i, arr_f,
+                       ctypes.c_int, ctypes.c_int]
+        fn.restype = None
+
+        data = adj.data.astype(np.float32)
+        indices = adj.indices.astype(np.int32)
+        indptr = adj.indptr.astype(np.int32)
+
+        def spmm(x: np.ndarray) -> np.ndarray:
+            out = np.zeros(x.size, np.float32)
+            fn(out, data, indices, indptr, x.reshape(-1),
+               x.shape[0], x.shape[1])
+            return out.reshape(x.shape)
+
+        return spmm
+    except Exception:
+        return None
+
+
+def baseline_edges_per_s(
+    adj: sp.csr_matrix, x: np.ndarray, prop_steps: int, iters: int = 2
+) -> tuple[float, str]:
+    """CPU baseline: reference C kernel if available, else scipy."""
+    kernel = _reference_kernel(adj)
+    name = "reference_c_omp" if kernel is not None else "scipy_csr"
+    if kernel is None:
+        kernel = lambda h: adj @ h  # noqa: E731
+    # warmup
+    h = kernel(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        h = x
+        for _ in range(prop_steps):
+            h = kernel(h)
+    dt = time.perf_counter() - t0
+    return iters * prop_steps * adj.nnz / dt, name
+
+
+def device_edges_per_s(
+    adj: sp.csr_matrix, x: np.ndarray, prop_steps: int,
+    engine: str = "auto", iters: int = 10,
+) -> float:
+    """TPU (or current default device) K-hop propagation throughput.
+
+    All ``iters * prop_steps`` hops run inside ONE jitted ``lax.scan`` and the
+    measurement fetches a tiny output slice: on a tunneled/remote backend,
+    per-dispatch RTT (~60ms here) would otherwise dominate, and
+    ``block_until_ready`` alone does not actually synchronize through the
+    relay. Fetching forces full execution.
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssrg_tpu.ops.sparse import device_adjacency
+
+    adj_dev = device_adjacency(adj, engine)
+    x_dev = jax.device_put(np.asarray(x, np.float32))
+    total_hops = iters * prop_steps
+
+    @partial(jax.jit, static_argnames=("hops",))
+    def many_hops(a, h0, hops):
+        def hop(h, _):
+            return a.spmm(h), None
+
+        out, _ = jax.lax.scan(hop, h0, None, length=hops)
+        # tiny, data-dependent output: forces the whole chain to execute
+        return out[0, :2] + out[-1, :2]
+
+    _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))  # compile + warm
+    t0 = time.perf_counter()
+    _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))
+    dt = time.perf_counter() - t0
+    return total_hops * adj.nnz / dt
+
+
+def run_bench(
+    num_nodes: int = 169_343,
+    avg_degree: float = 13.7,
+    num_features: int = 128,
+    prop_steps: int = 3,
+    engine: str = "auto",
+    iters: int = 10,
+    seed: int = 0,
+    emit: bool = True,
+) -> dict:
+    adj, x = make_benchmark_graph(num_nodes, avg_degree, num_features, seed)
+    dev = device_edges_per_s(adj, x, prop_steps, engine, iters)
+    base, base_name = baseline_edges_per_s(adj, x, prop_steps)
+    result = {
+        "metric": "khop_spmm_edges_per_s",
+        "value": round(dev, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(dev / base, 3),
+        "baseline": base_name,
+        "baseline_edges_per_s": round(base, 1),
+        "nnz": int(adj.nnz),
+        "num_nodes": num_nodes,
+        "num_features": num_features,
+        "prop_steps": prop_steps,
+        "engine": engine,
+    }
+    if emit:
+        print(json.dumps(result))
+    return result

@@ -186,7 +186,34 @@ class ELLAdj:
         return cls(*children, *aux)
 
 
-Adjacency = Union[DenseAdj, COOAdj, ELLAdj]
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class HybridAdj:
+    """ELL + COO-tail hybrid (CUSP-style): rows keep up to ``width`` slots in
+    the regular ELL part; overflow edges of heavy (hub) rows spill into a
+    sorted-COO tail. The right default for power-law graphs, where pure ELL
+    padding explodes with the max degree but most rows are short.
+    SpMM = ELL gather-reduce + COO segment-sum of the tail."""
+
+    ell: ELLAdj
+    tail: COOAdj
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.ell.shape
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.ell.spmm(x) + self.tail.spmm(x)
+
+    def tree_flatten(self):
+        return (self.ell, self.tail), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+Adjacency = Union[DenseAdj, COOAdj, ELLAdj, HybridAdj]
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +277,43 @@ def build_ell(
     )
 
 
+def build_hybrid(
+    adj: sp.spmatrix,
+    width: Optional[int] = None,
+    width_percentile: float = 95.0,
+    row_block: int = 256,
+    chunk: int = 1 << 19,
+) -> HybridAdj:
+    """Split a CSR adjacency into an ELL part (first ``width`` neighbors per
+    row; default width = p95 degree rounded up to 8) and a sorted-COO tail of
+    the overflow edges."""
+    csr = adj.tocsr()
+    n, m = csr.shape
+    deg = np.diff(csr.indptr)
+    if width is None:
+        width = int(np.percentile(deg, width_percentile)) if n else 1
+        width = _round_up(max(width, 1), 8)
+    # per-nnz position within its row
+    pos = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+    rows_of = np.repeat(np.arange(n), deg)
+    in_ell = pos < width
+
+    n_pad = _round_up(max(n, 1), row_block)
+    cols = np.zeros((n_pad, width), np.int32)
+    vals = np.zeros((n_pad, width), np.float32)
+    cols[rows_of[in_ell], pos[in_ell]] = csr.indices[in_ell]
+    vals[rows_of[in_ell], pos[in_ell]] = csr.data[in_ell]
+    ell = ELLAdj(jnp.asarray(cols), jnp.asarray(vals),
+                 n_rows=n, n_cols=m, row_block=row_block)
+
+    tail_mask = ~in_ell
+    tail = sp.coo_matrix(
+        (csr.data[tail_mask], (rows_of[tail_mask], csr.indices[tail_mask])),
+        shape=(n, m),
+    )
+    return HybridAdj(ell, build_coo(tail, chunk=chunk))
+
+
 def device_adjacency(
     adj: sp.spmatrix,
     engine: str = "auto",
@@ -258,17 +322,21 @@ def device_adjacency(
 ) -> Adjacency:
     """Pick a device format for a scipy sparse adjacency.
 
-    ``auto``: dense for small graphs (MXU wins outright), sorted-COO
-    otherwise. ``pallas`` builds the format consumed by the Pallas kernel.
+    ``auto``: dense for small graphs (the MXU matmul wins outright below a
+    few thousand rows), ELL+COO hybrid otherwise (regular gather for the
+    bulk, segment-sum tail for hubs). ``pallas`` builds the format consumed
+    by the Pallas kernel.
     """
     if engine == "auto":
-        engine = "dense" if adj.shape[0] <= dense_threshold else "coo"
+        engine = "dense" if adj.shape[0] <= dense_threshold else "hybrid"
     if engine == "dense":
         return build_dense(adj, **kwargs)
     if engine == "coo":
         return build_coo(adj, **kwargs)
     if engine == "ell":
         return build_ell(adj, **kwargs)
+    if engine == "hybrid":
+        return build_hybrid(adj, **kwargs)
     if engine == "pallas":
         from ssrg_tpu.ops.pallas_spmm import build_pallas_csr
 

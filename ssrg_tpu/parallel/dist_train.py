@@ -1,0 +1,132 @@
+"""SPMD end-to-end training step: distributed propagate + data-parallel head.
+
+One jitted function runs the full precompute-GNN pipeline over a device mesh:
+
+1. ``dist_propagate`` (shard_map): adjacency row blocks x feature row blocks,
+   all-gather per hop over the ``graph`` axis (ICI).
+2. Hop aggregation + MLP/LogReg head forward/backward: pure GSPMD — node
+   rows stay sharded over the same axis, parameters are replicated, and XLA
+   inserts the gradient psum automatically from the shardings.
+3. optax update on replicated params.
+
+The reference has no distributed path at all (SURVEY.md §2.14); this module
+is its TPU-native scaling counterpart and the target of
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ssrg_tpu.parallel.dist_spmm import (
+    ShardedAdj,
+    dist_propagate,
+    shard_adjacency,
+    shard_features,
+)
+from ssrg_tpu.parallel.partition import RowPartition, partition_rows
+from ssrg_tpu.train.common import make_optimizer
+
+
+@dataclass
+class SPMDTrainContext:
+    """Everything needed to run sharded training steps."""
+
+    mesh: Mesh
+    adj: ShardedAdj
+    x: jax.Array              # [n_pad, F] node-sharded
+    y: jax.Array              # [n_pad] node-sharded
+    train_mask: jax.Array     # [n_pad] f32 node-sharded (0 on padding)
+    params: Any               # replicated
+    opt_state: Any
+    step_fn: Callable
+
+
+def build_spmd_context(
+    adj_scipy,
+    x: np.ndarray,
+    y: np.ndarray,
+    train_idx: np.ndarray,
+    module,
+    mesh: Mesh,
+    prop_steps: int,
+    lr: float = 1e-2,
+    weight_decay: float = 1e-5,
+    axis: str = "graph",
+    seed: int = 0,
+) -> SPMDTrainContext:
+    """Partition the graph over ``mesh``, initialize replicated params, and
+    compile the full sharded train step."""
+    num_shards = int(np.prod(mesh.devices.shape))
+    part = partition_rows(adj_scipy, num_shards)
+    sharded_adj = shard_adjacency(part, mesh, axis)
+    xs = shard_features(x, part, mesh, axis)
+
+    n_pad = part.n_pad
+    y_pad = np.zeros(n_pad, np.int64)
+    y_pad[: y.shape[0]] = y
+    mask = np.zeros(n_pad, np.float32)
+    mask[train_idx] = 1.0
+    node_spec = NamedSharding(mesh, P(axis))
+    y_dev = jax.device_put(y_pad, node_spec)
+    mask_dev = jax.device_put(mask, node_spec)
+
+    # init params on a tiny local slice (replicated)
+    rng = jax.random.PRNGKey(seed)
+    example_hops = jnp.zeros((prop_steps + 1, 2, x.shape[1]), jnp.float32)
+    variables = module.init({"params": rng, "dropout": rng}, example_hops,
+                            train=False)
+    params = jax.device_put(
+        variables["params"], NamedSharding(mesh, P())
+    )
+    tx = make_optimizer(lr, weight_decay)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, xs, y_dev, mask_dev, dropout_rng):
+        hops = dist_propagate(sharded_adj, xs, prop_steps)  # [K+1, n_pad, F]
+
+        def loss_fn(p):
+            logits = module.apply(
+                {"params": p}, hops, train=True, rngs={"dropout": dropout_rng}
+            )
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y_dev
+            )
+            return (losses * mask_dev).sum() / jnp.maximum(mask_dev.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return SPMDTrainContext(
+        mesh=mesh,
+        adj=sharded_adj,
+        x=xs,
+        y=y_dev,
+        train_mask=mask_dev,
+        params=params,
+        opt_state=opt_state,
+        step_fn=step_fn,
+    )
+
+
+def run_steps(ctx: SPMDTrainContext, num_steps: int, seed: int = 0):
+    """Execute sharded train steps; returns (ctx, last_loss)."""
+    rng = jax.random.PRNGKey(seed)
+    loss = None
+    for i in range(num_steps):
+        rng, step_rng = jax.random.split(rng)
+        ctx.params, ctx.opt_state, loss = ctx.step_fn(
+            ctx.params, ctx.opt_state, ctx.x, ctx.y, ctx.train_mask, step_rng
+        )
+    return ctx, float(loss)

@@ -57,10 +57,33 @@ def test_empty_rows_and_weighted():
 def test_device_adjacency_auto():
     small = _random_csr(32, 32, 0.2)
     big = _random_csr(9000, 9000, 0.0005)
-    from ssrg_tpu.ops.sparse import COOAdj, DenseAdj
+    from ssrg_tpu.ops.sparse import DenseAdj, HybridAdj
 
     assert isinstance(device_adjacency(small, "auto"), DenseAdj)
-    assert isinstance(device_adjacency(big, "auto"), COOAdj)
+    assert isinstance(device_adjacency(big, "auto"), HybridAdj)
+
+
+def test_hybrid_matches_scipy():
+    from ssrg_tpu.ops.sparse import build_hybrid
+
+    # power-law-ish: a few hub rows with huge degree
+    rng = np.random.default_rng(9)
+    n = 400
+    rows = [rng.integers(0, n, size=2000)]
+    rows.append(np.full(500, 7))   # hub row
+    rows.append(np.full(300, 123))
+    row = np.concatenate(rows)
+    col = rng.integers(0, n, size=row.shape[0])
+    val = rng.normal(size=row.shape[0]).astype(np.float32)
+    adj = sp.csr_matrix((val, (row, col)), shape=(n, n))
+    adj.sum_duplicates()
+    x = rng.normal(size=(n, 24)).astype(np.float32)
+    hyb = build_hybrid(adj, width=8)
+    np.testing.assert_allclose(
+        np.asarray(hyb.spmm(x)), adj @ x, rtol=3e-5, atol=3e-5
+    )
+    # tail actually used
+    assert float(np.asarray(hyb.tail.val).sum()) != 0.0
 
 
 def test_ell_rejects_overflow():
