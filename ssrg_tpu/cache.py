@@ -1,0 +1,92 @@
+"""Precompute cache + parameter checkpointing.
+
+The precompute family's real "checkpoint" is the propagated-feature artifact
+(SURVEY.md §5 checkpoint row: the reference persists only processed dataset
+pickles and keeps the best model in memory). This module provides both
+halves properly:
+
+- :func:`cached_propagate` — disk-cache the ``[K+1, N, F]`` hop tensor keyed
+  by a hash of (adjacency structure, normalization, K, feature fingerprint);
+  reruns of training skip the SpMM phase entirely.
+- :func:`save_params` / :func:`load_params` — flax msgpack serialization of
+  model parameters (+ a JSON sidecar of metadata), giving the train loop a
+  durable best-model snapshot the reference lacks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import os.path as osp
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _graph_fingerprint(adj: sp.spmatrix, x: np.ndarray, extra: str) -> str:
+    csr = adj.tocsr()
+    h = hashlib.sha256()
+    h.update(str(csr.shape).encode())
+    h.update(csr.indptr[:: max(1, len(csr.indptr) // 1024)].tobytes())
+    h.update(csr.indices[:: max(1, len(csr.indices) // 4096)].tobytes())
+    h.update(np.asarray(csr.data[:4096], np.float32).tobytes())
+    xs = np.asarray(x, np.float32)
+    h.update(xs[:: max(1, xs.shape[0] // 256)].tobytes())
+    h.update(extra.encode())
+    return h.hexdigest()[:24]
+
+
+def cached_propagate(
+    adj_norm: sp.spmatrix,
+    x: np.ndarray,
+    prop_steps: int,
+    cache_dir: Optional[str],
+    engine: str = "auto",
+    tag: str = "",
+) -> jnp.ndarray:
+    """K-hop propagation with a disk cache of the result."""
+    from ssrg_tpu.ops.propagate import propagate
+    from ssrg_tpu.ops.sparse import device_adjacency
+
+    if cache_dir is None:
+        adj_dev = device_adjacency(adj_norm, engine)
+        return propagate(adj_dev, jnp.asarray(x, jnp.float32), prop_steps)
+
+    os.makedirs(cache_dir, exist_ok=True)
+    key = _graph_fingerprint(adj_norm, x, f"{prop_steps}|{tag}")
+    path = osp.join(cache_dir, f"hops_{key}.npz")
+    if osp.exists(path):
+        with np.load(path) as z:
+            return jnp.asarray(z["hops"])
+    adj_dev = device_adjacency(adj_norm, engine)
+    hops = propagate(adj_dev, jnp.asarray(x, jnp.float32), prop_steps)
+    np.savez(path, hops=np.asarray(hops))
+    return hops
+
+
+def save_params(params: Any, path: str, metadata: Optional[dict] = None) -> None:
+    from flax import serialization
+
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f)
+
+
+def load_params(template: Any, path: str) -> Any:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def load_metadata(path: str) -> Optional[dict]:
+    if osp.exists(path + ".json"):
+        with open(path + ".json") as f:
+            return json.load(f)
+    return None

@@ -103,8 +103,9 @@ class TrainingConfig:
     train_batch_size: Optional[int] = None  # None => full-batch
     eval_batch_size: Optional[int] = None
     dtype: str = "float32"      # training compute dtype
-    spmm_engine: str = "auto"   # auto | dense | bcoo | coo | pallas
+    spmm_engine: str = "auto"   # auto | dense | coo | ell | hybrid | pallas
     mesh_shape: Sequence[int] = ()  # () => single device
+    cache_dir: Optional[str] = None  # disk cache for propagated hop features
 
 
 @dataclass

@@ -87,23 +87,26 @@ class Graph:
 
     @property
     def adj(self) -> sp.csr_matrix:
-        """Symmetric scipy CSR adjacency built lazily from the edge list."""
+        """Symmetric scipy CSR adjacency built lazily from the edge list.
+
+        Uses the native OpenMP builder (``native/graphbuild.cpp``) when
+        available; unweighted ('..U') edge types are clamped to 0/1 so
+        symmetrizing an already-symmetric list is idempotent."""
         if self._adj is None:
             n = self.num_node
             r, c, w = self.edge.row, self.edge.col, self.edge.edge_weight
+            clamp = self.edge_type.endswith("U")
             if self._symmetrize:
-                rr = np.concatenate([r, c])
-                cc = np.concatenate([c, r])
-                ww = np.concatenate([w, w])
+                from ssrg_tpu import native
+
+                rr, cc, ww = native.symmetrize_edges(r, c, w, n, clamp_unit=clamp)
+                adj = sp.csr_matrix((ww, (rr, cc)), shape=(n, n))
             else:
-                rr, cc, ww = r, c, w
-            adj = sp.coo_matrix((ww, (rr, cc)), shape=(n, n)).tocsr()
-            # collapse duplicate entries (coo->csr sums them); clamp weights for
-            # unweighted graphs so a+aᵀ on an already-symmetric list stays 0/1
-            if self.edge_type.endswith("U"):
-                adj.data[:] = np.minimum(adj.data, 1.0)
-            adj.setdiag(0)
-            adj.eliminate_zeros()
+                adj = sp.coo_matrix((w, (r, c)), shape=(n, n)).tocsr()
+                if clamp:
+                    adj.data[:] = np.minimum(adj.data, 1.0)
+                adj.setdiag(0)
+                adj.eliminate_zeros()
             self._adj = adj
         return self._adj
 

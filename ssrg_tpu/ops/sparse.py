@@ -287,30 +287,21 @@ def build_hybrid(
     """Split a CSR adjacency into an ELL part (first ``width`` neighbors per
     row; default width = p95 degree rounded up to 8) and a sorted-COO tail of
     the overflow edges."""
+    from ssrg_tpu import native
+
     csr = adj.tocsr()
     n, m = csr.shape
     deg = np.diff(csr.indptr)
     if width is None:
         width = int(np.percentile(deg, width_percentile)) if n else 1
         width = _round_up(max(width, 1), 8)
-    # per-nnz position within its row
-    pos = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
-    rows_of = np.repeat(np.arange(n), deg)
-    in_ell = pos < width
-
     n_pad = _round_up(max(n, 1), row_block)
-    cols = np.zeros((n_pad, width), np.int32)
-    vals = np.zeros((n_pad, width), np.float32)
-    cols[rows_of[in_ell], pos[in_ell]] = csr.indices[in_ell]
-    vals[rows_of[in_ell], pos[in_ell]] = csr.data[in_ell]
+    cols, vals, tr, tc, tv = native.ell_hybrid_pack(
+        csr.indptr, csr.indices, csr.data, width, n_pad
+    )
     ell = ELLAdj(jnp.asarray(cols), jnp.asarray(vals),
                  n_rows=n, n_cols=m, row_block=row_block)
-
-    tail_mask = ~in_ell
-    tail = sp.coo_matrix(
-        (csr.data[tail_mask], (rows_of[tail_mask], csr.indices[tail_mask])),
-        shape=(n, m),
-    )
+    tail = sp.coo_matrix((tv, (tr, tc)), shape=(n, m))
     return HybridAdj(ell, build_coo(tail, chunk=chunk))
 
 

@@ -92,8 +92,13 @@ def prepare(
             "via ssrg_tpu.ops.propagate_{complex,multi}; the shipped zoo uses "
             "single-adjacency ops only (reference parity, SURVEY.md §2.6)"
         )
-    adj_dev = device_adjacency(adj_norm, engine)
-    hops = propagate(adj_dev, x, spec.prop_steps)
+    from ssrg_tpu.cache import cached_propagate
+
+    hops = cached_propagate(
+        adj_norm, np.asarray(dataset.x), spec.prop_steps,
+        training_cfg.cache_dir, engine,
+        tag=f"{spec.graph_op}:{model_cfg.r}",
+    )
     hops.block_until_ready()
 
     if spec.pre_msg_learnable:

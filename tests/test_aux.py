@@ -1,0 +1,163 @@
+"""Aux subsystems: cache/checkpoint, loggers, clustering metrics, utils,
+planetoid parser (on synthetic ind.* fixtures)."""
+
+import os.path as osp
+import pickle
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ssrg_tpu.cache import cached_propagate, load_params, save_params
+from ssrg_tpu.logger import MetricsWriter, PhaseTimer, RunLogger, get_logger
+from ssrg_tpu.train.clustering_metrics import (
+    clustering_accuracy,
+    evaluation_cluster_model_from_label,
+)
+from ssrg_tpu.utils import compute_distance, generate_numbers, get_params
+
+
+def test_cached_propagate_roundtrip(tmp_path):
+    from ssrg_tpu.ops.normalize import sym_norm
+
+    rng = np.random.default_rng(0)
+    a = (rng.uniform(size=(50, 50)) < 0.1).astype(np.float32)
+    np.fill_diagonal(a, 0)
+    adj = sym_norm(sp.csr_matrix(np.maximum(a, a.T)), 0.5)
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+
+    h1 = np.asarray(cached_propagate(adj, x, 3, str(tmp_path)))
+    files = [f for f in __import__("os").listdir(tmp_path) if f.startswith("hops_")]
+    assert len(files) == 1
+    h2 = np.asarray(cached_propagate(adj, x, 3, str(tmp_path)))
+    np.testing.assert_allclose(h1, h2, atol=0)
+    # changed K -> new cache entry
+    cached_propagate(adj, x, 2, str(tmp_path))
+    files = [f for f in __import__("os").listdir(tmp_path) if f.startswith("hops_")]
+    assert len(files) == 2
+
+
+def test_params_checkpoint_roundtrip(tmp_path):
+    from ssrg_tpu.models.heads import MultiLayerPerceptron
+
+    mlp = MultiLayerPerceptron(hidden_dim=16, output_dim=4, num_layers=2)
+    x = np.zeros((3, 8), np.float32)
+    params = mlp.init(jax.random.PRNGKey(0), x)["params"]
+    path = str(tmp_path / "ckpt" / "model.msgpack")
+    save_params(params, path, metadata={"acc": 0.9})
+    template = mlp.init(jax.random.PRNGKey(1), x)["params"]
+    restored = load_params(template, path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert get_params(params) == get_params(restored) > 0
+
+
+def test_run_logger_statistics(capsys):
+    rl = RunLogger(runs=2)
+    rl.add_result(0, (0.9, 0.7, 0.6))
+    rl.add_result(0, (0.95, 0.8, 0.75))
+    rl.add_result(1, (0.9, 0.85, 0.7))
+    msg = rl.print_statistics()
+    assert "test" in msg
+    val, test = rl.best_of_run(0)
+    assert val == 0.8 and test == 0.75
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    p = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(p)
+    w.write(epoch=1, loss=0.5)
+    w.write(epoch=2, loss=0.25)
+    w.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[1]["loss"] == 0.25 and "ts" in lines[0]
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.measure("work"):
+        sum(range(1000))
+    assert t.phases["work"] > 0
+    assert t.rate("work", 100.0) > 0
+
+
+def test_clustering_metrics_perfect_permutation():
+    y = np.array([0, 0, 1, 1, 2, 2])
+    pred = np.array([2, 2, 0, 0, 1, 1])  # permuted clusters
+    out = evaluation_cluster_model_from_label(y, pred)
+    assert out["acc"] == 1.0 and out["nmi"] == pytest.approx(1.0)
+    assert out["ari"] == pytest.approx(1.0)
+    noisy = clustering_accuracy(y, np.array([2, 2, 0, 1, 1, 1]))
+    assert 0.5 < noisy["acc"] < 1.0
+
+
+def test_misc_utils():
+    vals = generate_numbers(10, 3, list(range(5)), np.random.default_rng(0))
+    assert len(vals) == 10 and 3 not in vals
+    d = compute_distance(np.array([[3.0, 4.0], [0.0, 0.0]]), np.array([0.0, 0.0]))
+    np.testing.assert_allclose(d, [5.0, 0.0])
+
+
+def _make_fake_planetoid(raw_dir, n_train=40, n_test=30, n_other=50, f=16, c=4):
+    """Synthesize a consistent ind.* fixture."""
+    rng = np.random.default_rng(0)
+    n_allx = n_train + n_other
+    n = n_allx + n_test
+
+    def onehot(k):
+        out = np.zeros((k.shape[0], c))
+        out[np.arange(k.shape[0]), k] = 1
+        return out
+
+    labels = rng.integers(0, c, n)
+    allx = sp.csr_matrix(rng.uniform(size=(n_allx, f)) * (rng.uniform(size=(n_allx, f)) < 0.3))
+    tx = sp.csr_matrix(rng.uniform(size=(n_test, f)) * (rng.uniform(size=(n_test, f)) < 0.3))
+    x = allx[:n_train]
+    graph = {}
+    for i in range(n):
+        nbrs = rng.integers(0, n, 3).tolist()
+        graph[i] = nbrs
+    test_order = rng.permutation(np.arange(n_allx, n))
+
+    name = "cora"
+    files = {
+        f"ind.{name}.x": x,
+        f"ind.{name}.y": onehot(labels[:n_train]),
+        f"ind.{name}.tx": tx,
+        f"ind.{name}.ty": onehot(labels[n_allx:]),
+        f"ind.{name}.allx": allx,
+        f"ind.{name}.ally": onehot(labels[:n_allx]),
+        f"ind.{name}.graph": graph,
+    }
+    import os
+
+    os.makedirs(raw_dir, exist_ok=True)
+    for fname, obj in files.items():
+        with open(osp.join(raw_dir, fname), "wb") as fh:
+            pickle.dump(obj, fh)
+    with open(osp.join(raw_dir, f"ind.{name}.test.index"), "w") as fh:
+        fh.write("\n".join(str(i) for i in test_order))
+    return n, f, c
+
+
+def test_planetoid_parser_on_fixture(tmp_path):
+    from ssrg_tpu.data.planetoid import Planetoid
+
+    raw = str(tmp_path / "cora" / "raw")
+    n, f, c = _make_fake_planetoid(raw)
+    ds = Planetoid("cora", str(tmp_path))
+    assert ds.num_node == n
+    assert ds.num_features == f
+    assert ds.num_classes == c
+    assert ds.train_idx.shape[0] == c * 20
+    assert ds.val_idx.shape[0] == 500  # official protocol size
+    assert (ds.adj != ds.adj.T).nnz == 0
+    # features row-normalized
+    rowsum = np.abs(ds.x).sum(axis=1)
+    nz = rowsum > 1e-6
+    np.testing.assert_allclose(rowsum[nz], 1.0, rtol=1e-4)
