@@ -145,6 +145,170 @@ def dist_propagate(
     return run(adj.rows, adj.cols, adj.vals, x_sharded)
 
 
+def dist_propagate_ring(
+    adj: "ShardedAdjRing",
+    x_sharded: jax.Array,
+    prop_steps: int,
+) -> jax.Array:
+    """K-hop propagation with a ppermute ring instead of all-gather.
+
+    Memory-bounded variant for graphs whose full feature matrix does not fit
+    per-device HBM (papers100M scale): each device only ever holds TWO row
+    blocks of X (its own + the block in flight). Per hop, the feature blocks
+    rotate D-1 times around the ring; at step s each device multiplies the
+    edge bucket whose columns fall in the visiting block. Requires the
+    column-bucketed partition from :func:`partition_rows_ring`.
+
+    Communication volume per hop equals the all-gather variant (each block
+    visits each device once) but peak memory is O(2·block·F) instead of
+    O(n·F), and each ppermute overlaps with the local bucket SpMM.
+    """
+    axis = adj.axis
+    block = adj.block
+    num_shards = adj.num_shards
+
+    @partial(
+        shard_map,
+        mesh=adj.mesh,
+        in_specs=(
+            P(axis, None, None), P(axis, None, None), P(axis, None, None),
+            P(axis, None),
+        ),
+        out_specs=P(None, axis, None),
+    )
+    def run(rows_b, cols_b, vals_b, x_block):
+        rows_b, cols_b, vals_b = rows_b[0], cols_b[0], vals_b[0]
+        my = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+
+        def hop(h_block):
+            # bucket owned by (my - s) mod D arrives at ring step s
+            def ring_step(s, carry):
+                acc, visiting = carry
+                src = jax.lax.rem(my - s + num_shards, num_shards)
+                bucket = jax.lax.dynamic_index_in_dim(
+                    rows_b, src, axis=0, keepdims=False
+                ), jax.lax.dynamic_index_in_dim(
+                    cols_b, src, axis=0, keepdims=False
+                ), jax.lax.dynamic_index_in_dim(
+                    vals_b, src, axis=0, keepdims=False
+                )
+                r, c, v = bucket
+                gathered = jnp.take(visiting, c, axis=0) * v[:, None]
+                acc = acc + jax.ops.segment_sum(gathered, r, num_segments=block)
+                visiting = jax.lax.ppermute(visiting, axis, perm)
+                return acc, visiting
+
+            acc0 = jax.lax.pvary(
+                jnp.zeros((block, h_block.shape[1]), jnp.float32), (axis,)
+            )
+            acc, _ = jax.lax.fori_loop(
+                0, num_shards, ring_step, (acc0, h_block)
+            )
+            return acc
+
+        def step(h_block, _):
+            h_next = hop(h_block)
+            return h_next, h_next
+
+        _, hops = jax.lax.scan(step, x_block, None, length=prop_steps)
+        return jnp.concatenate([x_block[None], hops], axis=0)
+
+    return run(adj.rows, adj.cols, adj.vals, x_sharded)
+
+
+@dataclass
+class ShardedAdjRing:
+    """Ring-partitioned adjacency: per shard, edges bucketed by column block.
+
+    - rows/cols/vals: [D, D, bucket_pad] — entry [d, j] holds shard d's edges
+      whose column lies in block j, with LOCAL row and LOCAL column indices.
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    mesh: Mesh
+    axis: str
+    block: int
+    n: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.num_shards
+
+
+def partition_rows_ring(
+    adj, num_shards: int, row_align: int = 8
+) -> "RingPartitionArrays":
+    """Host-side column-bucketed row partition for the ring variant."""
+    import scipy.sparse as sp
+
+    csr = adj.tocsr()
+    n = csr.shape[0]
+    block = ((-(-n // num_shards)) + row_align - 1) // row_align * row_align
+    n_pad = block * num_shards
+
+    buckets = [[None] * num_shards for _ in range(num_shards)]
+    max_bucket = 1
+    for d in range(num_shards):
+        lo, hi = d * block, min((d + 1) * block, n)
+        sub = csr[lo:hi].tocoo() if lo < n else sp.coo_matrix((0, n))
+        col_block = sub.col // block
+        for j in range(num_shards):
+            m = col_block == j
+            buckets[d][j] = (
+                sub.row[m].astype(np.int32),
+                (sub.col[m] - j * block).astype(np.int32),
+                sub.data[m].astype(np.float32),
+            )
+            max_bucket = max(max_bucket, int(m.sum()))
+    pad = ((max_bucket + 511) // 512) * 512
+    rows = np.zeros((num_shards, num_shards, pad), np.int32)
+    cols = np.zeros((num_shards, num_shards, pad), np.int32)
+    vals = np.zeros((num_shards, num_shards, pad), np.float32)
+    for d in range(num_shards):
+        for j in range(num_shards):
+            r, c, v = buckets[d][j]
+            rows[d, j, : r.size] = r
+            cols[d, j, : r.size] = c
+            vals[d, j, : r.size] = v
+    return RingPartitionArrays(rows, cols, vals, block, n)
+
+
+@dataclass
+class RingPartitionArrays:
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+    block: int
+    n: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.num_shards
+
+
+def shard_adjacency_ring(
+    part: RingPartitionArrays, mesh: Mesh, axis: str = "graph"
+) -> ShardedAdjRing:
+    spec = NamedSharding(mesh, P(axis, None, None))
+    return ShardedAdjRing(
+        rows=jax.device_put(part.rows, spec),
+        cols=jax.device_put(part.cols, spec),
+        vals=jax.device_put(part.vals, spec),
+        mesh=mesh, axis=axis, block=part.block, n=part.n,
+    )
+
+
 def dist_propagate_reference(part: RowPartition, x: np.ndarray, k: int):
     """Host oracle for tests: dense numpy propagation on the stitched-back
     adjacency."""

@@ -71,3 +71,34 @@ def test_dist_propagate_chunked():
     hops_small_chunk = np.asarray(dist_propagate(adj, xs, 2, chunk=512))
     hops_big_chunk = np.asarray(dist_propagate(adj, xs, 2))
     np.testing.assert_allclose(hops_small_chunk, hops_big_chunk, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_propagate_matches_allgather():
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_ring,
+        partition_rows_ring,
+        shard_adjacency_ring,
+        shard_features,
+    )
+
+    p, x = _graph(seed=4)
+    num_shards = 4
+    mesh = make_mesh((num_shards,), ("graph",), jax.devices()[:num_shards])
+    ring_part = partition_rows_ring(p, num_shards)
+    adj_ring = shard_adjacency_ring(ring_part, mesh)
+    xs = shard_features(x, ring_part, mesh)
+    hops_ring = np.asarray(dist_propagate_ring(adj_ring, xs, 3))
+
+    single = np.asarray(propagate(build_coo(p), x, 3))
+    for i in range(4):
+        np.testing.assert_allclose(
+            hops_ring[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
+
+
+def test_ring_partition_buckets_cover_all_edges():
+    from ssrg_tpu.parallel.dist_spmm import partition_rows_ring
+
+    p, _ = _graph(seed=5)
+    part = partition_rows_ring(p, 8)
+    assert int((part.vals != 0).sum()) == p.nnz
