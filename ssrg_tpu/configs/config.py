@@ -31,6 +31,9 @@ class DataConfig:
     data_name: str = "cora_0_0"
     data_root: str = "./sparsity_datasets/simhomo/Planetoid"
     data_split: str = "official"
+    # read by the reference's planetoid loader but never defined in its config
+    # (latent AttributeError, SURVEY.md §2.9) — defined here
+    heterogeneity: bool = False
 
 
 @dataclass
@@ -106,6 +109,7 @@ class TrainingConfig:
     spmm_engine: str = "auto"   # auto | dense | coo | ell | hybrid | pallas
     mesh_shape: Sequence[int] = ()  # () => single device
     cache_dir: Optional[str] = None  # disk cache for propagated hop features
+    checkpoint_path: Optional[str] = None  # save best-val params here
 
 
 @dataclass

@@ -280,6 +280,26 @@ class ProjectedConcatMessageOp(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Multi-list combiners (pair / triple hop stacks)
+# ---------------------------------------------------------------------------
+
+
+def combine_multi_last(hop_stacks, start=None, end=None):
+    """Per-stack ``last`` over a tuple of hop stacks — the reference's
+    TwoDirLastMessageOp / TwoOrderLastMessageOp
+    (twodir_message_operator/twodir_last_message_op.py:4-10,
+    twoorder_message_operator/twoorder_last_message_op.py:4-10)."""
+    return tuple(combine_last(h, start, end) for h in hop_stacks)
+
+
+def combine_complex(re_hops, im_hops, fn=combine_last, **kwargs):
+    """Apply a combiner to the (real, imag) pair from magnetic propagation —
+    the reference's ComMessageOp aggregate protocol
+    (base_operator.py:212-234)."""
+    return fn(re_hops, **kwargs), fn(im_hops, **kwargs)
+
+
+# ---------------------------------------------------------------------------
 # Factory
 # ---------------------------------------------------------------------------
 

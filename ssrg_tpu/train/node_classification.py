@@ -301,6 +301,16 @@ class NodeClassification:
                 )
             if acc_val > best_val:
                 best_val, best_test = acc_val, acc_test
+                if cfg.checkpoint_path:
+                    from ssrg_tpu.cache import save_params
+
+                    save_params(
+                        state.params, cfg.checkpoint_path,
+                        metadata={
+                            "epoch": epoch + 1, "val_acc": best_val,
+                            "test_acc": best_test, "model": self.spec.name,
+                        },
+                    )
 
         if self.post_graph_op is not None:
             acc_val, acc_test = self._postprocess(state, eval_step)

@@ -161,3 +161,22 @@ def test_planetoid_parser_on_fixture(tmp_path):
     rowsum = np.abs(ds.x).sum(axis=1)
     nz = rowsum > 1e-6
     np.testing.assert_allclose(rowsum[nz], 1.0, rtol=1e-4)
+
+
+def test_training_checkpoint_saves_best(tmp_path):
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.train.node_classification import NodeClassification
+    from ssrg_tpu.cache import load_metadata
+
+    ds = planetoid_like(num_node=300, num_classes=3, num_features=16, seed=9)
+    ckpt = str(tmp_path / "best.msgpack")
+    mc = ModelConfig(model_name="sgc", prop_steps=2)
+    tc = TrainingConfig(num_epochs=30, lr=0.01, seed=1, checkpoint_path=ckpt)
+    spec = load_model(mc, ds.num_features, ds.num_classes)
+    task = NodeClassification(ds, spec, mc, tc)
+    meta = load_metadata(ckpt)
+    assert meta is not None
+    assert abs(meta["val_acc"] - task.best_val) < 1e-6
+    assert osp.exists(ckpt)

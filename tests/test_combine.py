@@ -139,3 +139,11 @@ def test_projected_concat_shapes(hops):
     assert out.shape == (10, 4 * 8)
     # hops >= 1 pass relu: their blocks are nonnegative
     assert (out[:, 8:] >= 0).all()
+
+
+def test_multi_and_complex_combiners(hops):
+    h2 = hops * 2.0
+    lasts = combine.combine_multi_last((hops, h2))
+    np.testing.assert_allclose(np.asarray(lasts[0]) * 2, np.asarray(lasts[1]))
+    re_out, im_out = combine.combine_complex(hops, h2, fn=combine.combine_mean)
+    np.testing.assert_allclose(np.asarray(re_out) * 2, np.asarray(im_out), rtol=1e-6)
