@@ -61,6 +61,43 @@ class IdenticalMapping(nn.Module):
         return feature
 
 
+class OneDimConvolution(nn.Module):
+    """Learnable scalar weight per hop/subgraph, summed
+    (simple_models.py:6-32; SGL heritage). Input: hop stack [K, n, F]."""
+
+    @nn.compact
+    def __call__(self, hops, train: bool = False, query_edges=None):
+        k = hops.shape[0]
+        w = self.param("hop_weight", nn.initializers.ones, (k, 1, 1))
+        return (hops * w).sum(axis=0)
+
+
+class OneDimConvolutionWeightSharedAcrossFeatures(nn.Module):
+    """Per-hop per-node learnable weight shared across the feature dim
+    (simple_models.py:35-62). Input: hop stack [K, n, F]."""
+
+    num_nodes: int
+
+    @nn.compact
+    def __call__(self, hops, train: bool = False, query_edges=None):
+        k = hops.shape[0]
+        w = self.param("hop_node_weight", nn.initializers.ones,
+                       (k, self.num_nodes, 1))
+        return (hops * w).sum(axis=0)
+
+
+class FastOneDimConvolution(nn.Module):
+    """Batched-matmul variant of the per-subgraph combination
+    (simple_models.py:65-84): input [n, K, F] -> weighted sum over K via a
+    single learnable [K] vector (``.subgraph_weight`` equivalent)."""
+
+    @nn.compact
+    def __call__(self, stacked, train: bool = False, query_edges=None):
+        k = stacked.shape[1]
+        w = self.param("subgraph_weight", nn.initializers.ones, (k,))
+        return jnp.einsum("nkf,k->nf", stacked, w)
+
+
 class LogisticRegression(nn.Module):
     """Linear head; with ``query_edges`` becomes the link scorer
     (simple_models.py:96-112)."""
