@@ -113,6 +113,25 @@ def cmd_augment(args) -> int:
     return 0
 
 
+def cmd_baseline(args) -> int:
+    from ssrg_tpu.configs.config import TrainingConfig
+    from ssrg_tpu.train.baseline_task import BaselineTask
+
+    dataset = _load_dataset(args)
+    cfg = TrainingConfig(
+        seed=args.seed, num_epochs=args.num_epochs, lr=args.lr,
+        weight_decay=args.weight_decay, spmm_engine=args.spmm_engine,
+    )
+    task = BaselineTask(
+        dataset, args.model_name, cfg, hidden_dim=args.hidden_dim,
+        num_layers=args.num_layers, dropout=args.dropout, runs=args.runs,
+        cluster_parts=args.cluster_parts,
+        parts_per_batch=args.parts_per_batch,
+    )
+    task.logger.print_statistics()
+    return 0
+
+
 def cmd_bench(args) -> int:
     from ssrg_tpu.bench import run_bench
 
@@ -158,6 +177,21 @@ def main(argv=None) -> int:
     p_aug.add_argument("--seed", type=int, default=2023)
     p_aug.add_argument("--data_save_path", default="./augument_datasets/simhomo/")
     p_aug.set_defaults(fn=cmd_augment)
+
+    p_base = sub.add_parser(
+        "baseline", help="baseline message-passing pipeline (reference main.py)"
+    )
+    p_base.add_argument("--model_name", default="gcn",
+                        help="mlp|robust_mlp|gcn|sage|gat|sgc|sign")
+    p_base.add_argument("--runs", type=int, default=1)
+    p_base.add_argument("--hidden_dim", type=int, default=64)
+    p_base.add_argument("--num_layers", type=int, default=2)
+    p_base.add_argument("--dropout", type=float, default=0.5)
+    p_base.add_argument("--cluster_parts", type=int, default=None)
+    p_base.add_argument("--parts_per_batch", type=int, default=8)
+    _add_training_flags(p_base)
+    _add_data_flags(p_base)
+    p_base.set_defaults(fn=cmd_baseline)
 
     p_bench = sub.add_parser("bench", help="K-hop SpMM precompute benchmark")
     p_bench.add_argument("--nodes", type=int, default=169_343)

@@ -38,15 +38,31 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return (losses * weights).sum() / denom
 
 
-def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float, weight_decay: float, warmup_epochs: int = 0
+) -> optax.GradientTransformation:
     """Adam with decoupled-from-schedule L2 added to the gradient before the
     moment updates — the semantics of ``torch.optim.Adam(weight_decay=wd)``
-    used by the reference (``tasks/node_classification.py:26-27``)."""
+    used by the reference (``tasks/node_classification.py:26-27``).
+    ``warmup_epochs`` linearly ramps the lr over the first N steps
+    (the reference's ``adjust_learning_rate``, tasks/utils.py:20-23)."""
+    if warmup_epochs:
+        schedule = optax.linear_schedule(0.0, lr, warmup_epochs)
+    else:
+        schedule = lr
+    opt = optax.adam(schedule)
     if weight_decay:
-        return optax.chain(
-            optax.add_decayed_weights(weight_decay), optax.adam(lr)
-        )
-    return optax.adam(lr)
+        return optax.chain(optax.add_decayed_weights(weight_decay), opt)
+    return opt
+
+
+def add_labels(features: np.ndarray, labels: np.ndarray, idx: np.ndarray,
+               num_classes: int) -> np.ndarray:
+    """Concat one-hot labels of ``idx`` rows onto the features
+    (label-as-feature trick; reference tasks/utils.py:25-28)."""
+    onehot = np.zeros((features.shape[0], num_classes), features.dtype)
+    onehot[idx, labels[idx]] = 1
+    return np.concatenate([features, onehot], axis=-1)
 
 
 class TrainState(train_state.TrainState):

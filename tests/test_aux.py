@@ -180,3 +180,24 @@ def test_training_checkpoint_saves_best(tmp_path):
     assert meta is not None
     assert abs(meta["val_acc"] - task.best_val) < 1e-6
     assert osp.exists(ckpt)
+
+
+def test_warmup_optimizer_and_add_labels():
+    from ssrg_tpu.train.common import add_labels, make_optimizer
+
+    opt = make_optimizer(0.01, 1e-5, warmup_epochs=10)
+    params = {"w": np.ones(3, np.float32)}
+    state = opt.init(params)
+    import jax.numpy as jnp
+
+    g = {"w": jnp.ones(3)}
+    updates, state = opt.update(g, state, params)
+    # first warmup step: lr == 0 -> only weight-decay-free near-zero update
+    assert float(np.abs(np.asarray(updates["w"])).max()) < 1e-6
+
+    feats = np.zeros((4, 2), np.float32)
+    labels = np.array([0, 1, 2, 1])
+    out = add_labels(feats, labels, np.array([0, 2]), 3)
+    assert out.shape == (4, 5)
+    np.testing.assert_array_equal(out[0, 2:], [1, 0, 0])
+    np.testing.assert_array_equal(out[1, 2:], [0, 0, 0])  # not in idx
