@@ -1,0 +1,172 @@
+"""Out-of-core graph loading for graphs beyond host memory (papers100M scale).
+
+SURVEY.md §7 hard-parts: "papers100M feature matrix (~111M x 128) exceeds
+single-host memory — needs sharded loading + on-the-fly normalization from
+disk". This module provides that path without ever materializing the full
+CSR or feature matrix:
+
+- Inputs are memory-mapped ``.npy`` files: ``edges.npy`` int64 [2, E]
+  (directed entries; symmetric duplicates allowed), ``features.npy``
+  f32/f16 [N, F], ``labels.npy`` int64 [N].
+- Pass 1 streams the edge file in chunks and accumulates degrees
+  (O(N) memory).
+- Pass 2 streams again, bucketing each edge by destination row block and
+  appending sym-normalized weights to per-shard on-disk spool files.
+- Each shard's padded COO block + feature row block is then loaded
+  independently (per host in a multi-host setting), matching the layout of
+  ``parallel.partition.RowPartition`` so ``dist_propagate`` consumes it
+  directly.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ssrg_tpu.parallel.partition import RowPartition, _round_up
+
+
+@dataclass
+class StreamingGraphMeta:
+    num_nodes: int
+    num_edges: int
+    block: int
+    num_shards: int
+    spool_dir: str
+
+
+def stream_degrees(
+    edges_path: str, num_nodes: int, chunk_edges: int = 1 << 24,
+    add_self_loops: bool = True,
+) -> np.ndarray:
+    """Pass 1: degree of the symmetrized adjacency (+I) from a memory-mapped
+    edge file, O(N) memory."""
+    edges = np.load(edges_path, mmap_mode="r")
+    e = edges.shape[1]
+    deg = np.zeros(num_nodes, np.float64)
+    for lo in range(0, e, chunk_edges):
+        hi = min(lo + chunk_edges, e)
+        src = np.asarray(edges[0, lo:hi])
+        dst = np.asarray(edges[1, lo:hi])
+        keep = src != dst
+        np.add.at(deg, src[keep], 1.0)
+        np.add.at(deg, dst[keep], 1.0)
+    if add_self_loops:
+        deg += 1.0
+    return deg
+
+
+def stream_partition(
+    edges_path: str,
+    num_nodes: int,
+    num_shards: int,
+    spool_dir: str,
+    r: float = 0.5,
+    chunk_edges: int = 1 << 24,
+    row_align: int = 8,
+) -> StreamingGraphMeta:
+    """Pass 2: bucket sym-normalized edges (both directions + self loops) by
+    destination row block into per-shard spool files.
+
+    Note: symmetric duplicate edges in the input are NOT coalesced here (the
+    degree pass counts both, and normalization weights are per-entry); inputs
+    are expected deduped single-direction or consistently duplicated — the
+    OGB edge dumps satisfy this.
+    """
+    os.makedirs(spool_dir, exist_ok=True)
+    deg = stream_degrees(edges_path, num_nodes, chunk_edges)
+    with np.errstate(divide="ignore"):
+        left = np.power(deg, r - 1.0)
+        right = np.power(deg, -r)
+    left[~np.isfinite(left)] = 0.0
+    right[~np.isfinite(right)] = 0.0
+
+    block = _round_up(-(-num_nodes // num_shards), row_align)
+    spools = [
+        open(osp.join(spool_dir, f"shard_{d}.bin"), "wb")
+        for d in range(num_shards)
+    ]
+    rec = np.dtype([("row", np.int32), ("col", np.int32), ("val", np.float32)])
+
+    def emit(dst, src):
+        """append edges dst<-src with weight left[dst]*right[src]."""
+        sh = dst // block
+        w = (left[dst] * right[src]).astype(np.float32)
+        for d in np.unique(sh):
+            m = sh == d
+            buf = np.empty(int(m.sum()), rec)
+            buf["row"] = (dst[m] - d * block).astype(np.int32)
+            buf["col"] = src[m].astype(np.int32)
+            buf["val"] = w[m]
+            spools[int(d)].write(buf.tobytes())
+
+    edges = np.load(edges_path, mmap_mode="r")
+    e = edges.shape[1]
+    total = 0
+    for lo in range(0, e, chunk_edges):
+        hi = min(lo + chunk_edges, e)
+        src = np.asarray(edges[0, lo:hi]).astype(np.int64)
+        dst = np.asarray(edges[1, lo:hi]).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        emit(dst, src)   # src -> dst direction
+        emit(src, dst)   # symmetrized direction
+        total += 2 * src.shape[0]
+    # self loops
+    loops = np.arange(num_nodes, dtype=np.int64)
+    emit(loops, loops)
+    total += num_nodes
+    for f in spools:
+        f.close()
+    return StreamingGraphMeta(num_nodes, total, block, num_shards, spool_dir)
+
+
+def load_shard(
+    meta: StreamingGraphMeta, shard: int, nnz_pad: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load one shard's spooled (row, col, val) arrays, optionally padded."""
+    rec = np.dtype([("row", np.int32), ("col", np.int32), ("val", np.float32)])
+    raw = np.fromfile(osp.join(meta.spool_dir, f"shard_{shard}.bin"), dtype=rec)
+    rows, cols, vals = raw["row"], raw["col"], raw["val"]
+    if nnz_pad is not None:
+        pad = nnz_pad - rows.shape[0]
+        if pad < 0:
+            raise ValueError("nnz_pad smaller than shard nnz")
+        rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+        cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+        vals = np.concatenate([vals, np.zeros(pad, np.float32)])
+    return rows, cols, vals
+
+
+def assemble_row_partition(meta: StreamingGraphMeta) -> RowPartition:
+    """Stitch all shard spools into a RowPartition (single-host path; on a
+    pod each host loads only its own shards via :func:`load_shard`)."""
+    sizes = [
+        osp.getsize(osp.join(meta.spool_dir, f"shard_{d}.bin")) // 12
+        for d in range(meta.num_shards)
+    ]
+    nnz_pad = _round_up(max(max(sizes), 1), 512)
+    rows = np.zeros((meta.num_shards, nnz_pad), np.int32)
+    cols = np.zeros((meta.num_shards, nnz_pad), np.int32)
+    vals = np.zeros((meta.num_shards, nnz_pad), np.float32)
+    for d in range(meta.num_shards):
+        r, c, v = load_shard(meta, d, nnz_pad)
+        rows[d], cols[d], vals[d] = r, c, v
+    return RowPartition(rows, cols, vals, block=meta.block, n=meta.num_nodes)
+
+
+def shard_feature_block(
+    features_path: str, meta: StreamingGraphMeta, shard: int
+) -> np.ndarray:
+    """Memory-mapped load of one shard's feature row block (zero-padded)."""
+    x = np.load(features_path, mmap_mode="r")
+    lo = shard * meta.block
+    hi = min(lo + meta.block, meta.num_nodes)
+    out = np.zeros((meta.block, x.shape[1]), np.float32)
+    if lo < meta.num_nodes:
+        out[: hi - lo] = np.asarray(x[lo:hi], np.float32)
+    return out
