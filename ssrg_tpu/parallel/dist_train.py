@@ -61,12 +61,21 @@ def build_spmd_context(
     lr: float = 1e-2,
     weight_decay: float = 1e-5,
     axis: str = "graph",
+    data_axis: Optional[str] = None,
     seed: int = 0,
 ) -> SPMDTrainContext:
     """Partition the graph over ``mesh``, initialize replicated params, and
-    compile the full sharded train step."""
-    num_shards = int(np.prod(mesh.devices.shape))
-    part = partition_rows(adj_scipy, num_shards)
+    compile the full sharded train step.
+
+    With a 2-D mesh (``data_axis`` set), the propagation phase shards nodes
+    over the ``graph`` axis only (adjacency row blocks replicated across the
+    data axis), and the dense training phase reshards the hop tensor's node
+    dimension over BOTH axes — graph locality for the SpMM, full-mesh data
+    parallelism for the MLP, with XLA inserting the redistribution and the
+    gradient psum from the sharding annotations alone.
+    """
+    num_graph_shards = mesh.shape[axis]
+    part = partition_rows(adj_scipy, num_graph_shards)
     sharded_adj = shard_adjacency(part, mesh, axis)
     xs = shard_features(x, part, mesh, axis)
 
@@ -75,9 +84,11 @@ def build_spmd_context(
     y_pad[: y.shape[0]] = y
     mask = np.zeros(n_pad, np.float32)
     mask[train_idx] = 1.0
-    node_spec = NamedSharding(mesh, P(axis))
+    train_axes = (axis,) if data_axis is None else (axis, data_axis)
+    node_spec = NamedSharding(mesh, P(train_axes))
     y_dev = jax.device_put(y_pad, node_spec)
     mask_dev = jax.device_put(mask, node_spec)
+    hops_train_spec = NamedSharding(mesh, P(None, train_axes, None))
 
     # init params on a tiny local slice (replicated)
     rng = jax.random.PRNGKey(seed)
@@ -93,6 +104,8 @@ def build_spmd_context(
     @jax.jit
     def step_fn(params, opt_state, xs, y_dev, mask_dev, dropout_rng):
         hops = dist_propagate(sharded_adj, xs, prop_steps)  # [K+1, n_pad, F]
+        # reshard node rows across the full mesh for the dense phase
+        hops = jax.lax.with_sharding_constraint(hops, hops_train_spec)
 
         def loss_fn(p):
             logits = module.apply(
