@@ -64,6 +64,10 @@ def prepare(
     t0 = time.time()
     x = jnp.asarray(dataset.x, dtype=jnp.float32)
     engine = training_cfg.spmm_engine
+    if engine == "autotune":
+        from ssrg_tpu.ops.autotune import autotune_engine
+
+        engine, _ = autotune_engine(dataset.adj, x.shape[1])
 
     if spec.spectral:
         from ssrg_tpu.models.wavelet import prepare_spectral
