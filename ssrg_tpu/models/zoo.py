@@ -276,6 +276,55 @@ def make_wavelet(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
     )
 
 
+def make_magnet(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
+    """Magnetic-Laplacian model: complex propagation (ops.propagate_complex)
+    + complex MLP head with magnitude readout. The reference holds this
+    capability only at operator level (complex heads are commented out,
+    SURVEY.md §2.5); here it is a trainable zoo member."""
+    from ssrg_tpu.models.complex_heads import ComMLP
+
+    return ModelSpec(
+        name="magnet",
+        graph_op="magnetic",
+        aggr_type=None,
+        prop_steps=cfg.prop_steps,
+        module=PrecomputeModel(
+            msg_op=None,
+            head=ComMLP(
+                hidden_dim=cfg.hidden_dim,
+                output_dim=output_dim,
+                num_layers=cfg.num_layers,
+                dropout=cfg.dropout,
+            ),
+        ),
+    )
+
+
+def make_two_dir(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
+    """Directed two-direction model: un/in/out triple propagation
+    (TwoDirGraphOp, SURVEY.md §2.2), last hop of each concatenated into an
+    MLP head."""
+    return ModelSpec(
+        name="two_dir",
+        graph_op="two_dir",
+        aggr_type="last",
+        prop_steps=cfg.prop_steps,
+        module=PrecomputeModel(msg_op=None, head=_mlp(cfg, output_dim)),
+    )
+
+
+def make_two_order(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
+    """Two-order PPR-approximation model: first/second-order pair propagation
+    (TwoOrderPprApproxGraphOp), last hops concatenated into an MLP head."""
+    return ModelSpec(
+        name="two_order",
+        graph_op="two_order",
+        aggr_type="last",
+        prop_steps=cfg.prop_steps,
+        module=PrecomputeModel(msg_op=None, head=_mlp(cfg, output_dim)),
+    )
+
+
 MODEL_REGISTRY: Dict[str, Callable[[ModelConfig, int, int], ModelSpec]] = {
     "sgc": make_sgc,
     "ssgc": make_ssgc,
@@ -286,6 +335,9 @@ MODEL_REGISTRY: Dict[str, Callable[[ModelConfig, int, int], ModelSpec]] = {
     "gcn": make_gcn,
     "clean_train": make_clean_train,
     "wavelet": make_wavelet,
+    "magnet": make_magnet,
+    "two_dir": make_two_dir,
+    "two_order": make_two_order,
 }
 
 

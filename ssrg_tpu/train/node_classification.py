@@ -91,11 +91,24 @@ def prepare(
 
     adj_norm = spec.construct_adj(dataset.adj, model_cfg)
     if isinstance(adj_norm, tuple):
-        raise NotImplementedError(
-            "multi-adjacency graph ops (magnetic/two_dir/two_order) are exposed "
-            "via ssrg_tpu.ops.propagate_{complex,multi}; the shipped zoo uses "
-            "single-adjacency ops only (reference parity, SURVEY.md §2.6)"
-        )
+        devs = tuple(device_adjacency(a, engine) for a in adj_norm)
+        if spec.graph_op in ("magnetic", "magnetic_ppr"):
+            # complex propagation; "last" aggregate over the (re, im) pair
+            from ssrg_tpu.ops.propagate import propagate_complex
+
+            re_hops, im_hops = propagate_complex(
+                devs[0], devs[1], x, spec.prop_steps
+            )
+            inputs = (re_hops[-1], im_hops[-1])
+        else:
+            # two_dir triple / two_order pair: last hop of each, concatenated
+            from ssrg_tpu.ops.propagate import propagate_multi
+
+            hop_stacks = propagate_multi(devs, x, spec.prop_steps)
+            inputs = jnp.concatenate([h[-1] for h in hop_stacks], axis=-1)
+        jax.tree_util.tree_leaves(inputs)[0].block_until_ready()
+        return Prepared(spec.module, inputs, False,
+                        preprocess_seconds=time.time() - t0)
     from ssrg_tpu.cache import cached_propagate
 
     hops = cached_propagate(
@@ -232,6 +245,8 @@ class NodeClassification:
 
     def _slice_inputs(self, idx):
         inp = self.prepared.inputs
+        if isinstance(inp, tuple):  # complex (re, im) pair
+            return tuple(part[idx] for part in inp)
         if self.prepared.hops_layout:
             return inp[:, idx]
         return inp[idx]

@@ -74,3 +74,39 @@ def test_postprocess_label_propagation(dataset):
         dataset, spec, model_cfg, train_cfg, post_graph_op="sym", post_msg_aggr="mean"
     )
     assert task.best_test > 0.7
+
+
+def test_directed_operator_models_learn():
+    """magnet / two_dir / two_order zoo members on a directed-signal graph:
+    direction encodes class info, so models using directed operators must
+    beat chance clearly."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ssrg_tpu.data.graph import Graph
+    from ssrg_tpu.data.synthetic import InMemoryDataset
+
+    rng = np.random.default_rng(3)
+    n, f, c = 400, 24, 3
+    y = rng.integers(0, c, n)
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    keep = ((y[src] + 1) % c == y[dst]) | (rng.uniform(size=4000) < 0.1)
+    src, dst = src[keep], dst[keep]
+    x = (rng.normal(size=(c, f))[y] + rng.normal(size=(n, f))).astype(np.float32)
+    g = Graph(src, dst, np.ones(src.shape[0], np.float32), n, "UUU",
+              x=x, y=y, symmetrize=False)
+    perm = rng.permutation(n)
+    ds = InMemoryDataset(g, perm[:200], perm[200:300], perm[300:],
+                         name="directed")
+
+    # two_order's pi-symmetrization keeps less of the pure-direction signal
+    # than the magnetic phase / in-out split, hence the lower band (chance
+    # is 0.33)
+    for name, thresh in (("magnet", 0.6), ("two_dir", 0.6), ("two_order", 0.45)):
+        model_cfg = ModelConfig(model_name=name, hidden_dim=32, prop_steps=2,
+                                num_layers=2, dropout=0.1, q=0.1)
+        train_cfg = TrainingConfig(num_epochs=120, lr=0.01, seed=5)
+        spec = load_model(model_cfg, ds.num_features, ds.num_classes)
+        task = NodeClassification(ds, spec, model_cfg, train_cfg)
+        assert task.best_test > thresh, f"{name}: {task.best_test:.3f}"
