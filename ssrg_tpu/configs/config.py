@@ -110,6 +110,7 @@ class TrainingConfig:
     mesh_shape: Sequence[int] = ()  # () => single device
     cache_dir: Optional[str] = None  # disk cache for propagated hop features
     checkpoint_path: Optional[str] = None  # save best-val params here
+    resume_from: Optional[str] = None      # warm-start params from a checkpoint
 
 
 @dataclass

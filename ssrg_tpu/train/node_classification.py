@@ -267,6 +267,12 @@ class NodeClassification:
         state = create_train_state(
             p.module, init_rng, init_inputs, cfg.lr, cfg.weight_decay, **init_kwargs
         )
+        if cfg.resume_from:
+            from ssrg_tpu.cache import load_params
+
+            state = state.replace(
+                params=load_params(state.params, cfg.resume_from)
+            )
         has_bn = state.batch_stats is not None
         train_step, eval_step = _make_step_fns(p.module, p.adj_device, has_bn)
 

@@ -201,3 +201,26 @@ def test_warmup_optimizer_and_add_labels():
     assert out.shape == (4, 5)
     np.testing.assert_array_equal(out[0, 2:], [1, 0, 0])
     np.testing.assert_array_equal(out[1, 2:], [0, 0, 0])  # not in idx
+
+
+def test_resume_from_checkpoint(tmp_path):
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.train.node_classification import NodeClassification
+
+    ds = planetoid_like(num_node=300, num_classes=3, num_features=16, seed=9)
+    ckpt = str(tmp_path / "warm.msgpack")
+    mc = ModelConfig(model_name="sgc", prop_steps=2)
+    spec = load_model(mc, ds.num_features, ds.num_classes)
+    # phase 1: short train, save
+    t1 = NodeClassification(
+        ds, spec, mc,
+        TrainingConfig(num_epochs=25, lr=0.01, seed=1, checkpoint_path=ckpt),
+    )
+    # phase 2: resume with 1 epoch must already be at the phase-1 level
+    t2 = NodeClassification(
+        ds, spec, mc,
+        TrainingConfig(num_epochs=1, lr=0.0, seed=2, resume_from=ckpt),
+    )
+    assert t2.best_val >= t1.best_val - 0.05
