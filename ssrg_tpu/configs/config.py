@@ -91,6 +91,7 @@ class ModelConfig:
     message_alpha: float = 0.5
     q: float = 0.05           # magnetic Laplacian phase parameter
     use_bn: bool = False
+    dtype: str = "float32"   # head compute dtype ("bfloat16" for MXU fast path)
     wavelet: WaveletConfig = field(default_factory=WaveletConfig)
 
 

@@ -20,7 +20,7 @@ edge projection, mirroring the reference's ``query_edges`` branch
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -43,7 +43,7 @@ class PReLU(nn.Module):
         slope = self.param(
             "slope", lambda key: jnp.asarray(self.init_slope, jnp.float32)
         )
-        return jnp.where(x >= 0, x, slope * x)
+        return jnp.where(x >= 0, x, slope.astype(x.dtype) * x)
 
 
 def _edge_concat(x: jnp.ndarray, query_edges: jnp.ndarray) -> jnp.ndarray:
@@ -116,32 +116,42 @@ class LogisticRegression(nn.Module):
 
 class MultiLayerPerceptron(nn.Module):
     """MLP head: (num_layers-1) x [Dense -> (BN) -> PReLU -> Dropout] -> Dense
-    (simple_models.py:115-162, with the argument-order bug fixed)."""
+    (simple_models.py:115-162, with the argument-order bug fixed).
+
+    ``dtype`` sets the compute dtype (bfloat16 keeps matmuls on the MXU fast
+    path with f32 params/outputs — standard TPU mixed precision)."""
 
     hidden_dim: int
     output_dim: int
     num_layers: int = 2
     dropout: float = 0.5
     bn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feature, train: bool = False, query_edges=None):
         if self.num_layers < 2:
             raise ValueError("MLP must have at least two layers!")
-        x = feature
+        x = feature.astype(self.dtype)
         for i in range(self.num_layers - 1):
-            x = nn.Dense(self.hidden_dim, kernel_init=_xavier_relu, name=f"fc_{i}")(x)
+            x = nn.Dense(self.hidden_dim, kernel_init=_xavier_relu,
+                         dtype=self.dtype, name=f"fc_{i}")(x)
             if self.bn:
                 x = nn.BatchNorm(
-                    use_running_average=not train, name=f"bn_{i}"
+                    use_running_average=not train, dtype=self.dtype,
+                    name=f"bn_{i}",
                 )(x)
             x = PReLU(name=f"prelu_{i}")(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if query_edges is None:
-            return nn.Dense(self.output_dim, kernel_init=_xavier_relu, name="fc_out")(x)
+            out = nn.Dense(self.output_dim, kernel_init=_xavier_relu,
+                           dtype=self.dtype, name="fc_out")(x)
+            return out.astype(jnp.float32)
         x = _edge_concat(x, query_edges)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.output_dim, kernel_init=_xavier_relu, name="edge_fc")(x)
+        out = nn.Dense(self.output_dim, kernel_init=_xavier_relu,
+                       dtype=self.dtype, name="edge_fc")(x)
+        return out.astype(jnp.float32)
 
 
 class ResMultiLayerPerceptron(nn.Module):

@@ -112,12 +112,15 @@ class ModelSpec:
 
 
 def _mlp(cfg: ModelConfig, output_dim: int) -> MultiLayerPerceptron:
+    import jax.numpy as jnp
+
     return MultiLayerPerceptron(
         hidden_dim=cfg.hidden_dim,
         output_dim=output_dim,
         num_layers=cfg.num_layers,
         dropout=cfg.dropout,
         bn=cfg.use_bn,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
 
 

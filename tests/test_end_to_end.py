@@ -110,3 +110,13 @@ def test_directed_operator_models_learn():
         spec = load_model(model_cfg, ds.num_features, ds.num_classes)
         task = NodeClassification(ds, spec, model_cfg, train_cfg)
         assert task.best_test > thresh, f"{name}: {task.best_test:.3f}"
+
+
+def test_bfloat16_head_trains(dataset):
+    """Mixed precision: bf16 head compute with f32 params still learns."""
+    model_cfg = ModelConfig(model_name="gbp", hidden_dim=64, prop_steps=3,
+                            num_layers=2, dtype="bfloat16")
+    train_cfg = TrainingConfig(num_epochs=100, lr=0.01, seed=7)
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, model_cfg, train_cfg)
+    assert task.best_test > 0.75, f"bf16 gbp: {task.best_test:.3f}"
