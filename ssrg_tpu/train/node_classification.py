@@ -251,6 +251,24 @@ class NodeClassification:
             return inp[:, idx]
         return inp[idx]
 
+    def _batched_eval(self, state, eval_step, idx, batch_size) -> float:
+        """Memory-bounded evaluation: static-shape batches with padded tail
+        (reference node_cls_mini_batch_evaluate, tasks/utils.py:114-129)."""
+        correct = 0.0
+        total = 0.0
+        rng = np.random.default_rng(0)
+        for batch, w in batch_iterator(
+            np.asarray(idx), batch_size, rng, shuffle=False
+        ):
+            _, logits = eval_step(
+                state, self._slice_inputs(batch), self.labels[batch], None
+            )
+            pred = np.argmax(np.asarray(logits), axis=1)
+            labels = np.asarray(self.labels)[batch]
+            correct += float(((pred == labels) * w).sum())
+            total += float(w.sum())
+        return correct / max(total, 1.0)
+
     def execute(self, seed: int = 2023) -> Tuple[float, float]:
         p = self.prepared
         cfg = self.cfg
@@ -316,9 +334,16 @@ class NodeClassification:
                 state, loss, _ = train_step(
                     state, train_in, y_train, None, train_sel, step_rng
                 )
-            acc_val, _ = eval_step(state, val_in, y_val, val_sel)
-            acc_test, _ = eval_step(state, test_in, y_test, test_sel)
-            acc_val, acc_test = float(acc_val), float(acc_test)
+            if cfg.eval_batch_size is not None and not full_graph:
+                acc_val = self._batched_eval(
+                    state, eval_step, self.val_idx, cfg.eval_batch_size
+                )
+                acc_test = self._batched_eval(
+                    state, eval_step, self.test_idx, cfg.eval_batch_size
+                )
+            else:
+                acc_val = float(eval_step(state, val_in, y_val, val_sel)[0])
+                acc_test = float(eval_step(state, test_in, y_test, test_sel)[0])
             if self.verbose and cfg.normalize_times == 1:
                 print(
                     f"Epoch: {epoch + 1:03d}, loss_train: {float(loss):.4f}, "

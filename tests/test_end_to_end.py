@@ -120,3 +120,19 @@ def test_bfloat16_head_trains(dataset):
     spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
     task = NodeClassification(dataset, spec, model_cfg, train_cfg)
     assert task.best_test > 0.75, f"bf16 gbp: {task.best_test:.3f}"
+
+
+def test_batched_eval_matches_full_eval(dataset):
+    """eval_batch_size path must give identical accuracy to full eval."""
+    model_cfg = ModelConfig(model_name="sgc", prop_steps=2)
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    t_full = NodeClassification(
+        dataset, spec, model_cfg,
+        TrainingConfig(num_epochs=20, lr=0.01, seed=3),
+    )
+    t_batched = NodeClassification(
+        dataset, spec, model_cfg,
+        TrainingConfig(num_epochs=20, lr=0.01, seed=3, eval_batch_size=77),
+    )
+    assert abs(t_full.best_val - t_batched.best_val) < 1e-6
+    assert abs(t_full.best_test - t_batched.best_test) < 1e-6
