@@ -233,8 +233,16 @@ def build_coo(adj: sp.spmatrix, chunk: int = 1 << 19) -> COOAdj:
     col = coo.col[order].astype(np.int32)
     val = coo.data[order].astype(np.float32)
     nnz = row.shape[0]
-    chunk = min(chunk, max(_round_up(nnz, 512), 512))
-    nnz_pad = _round_up(max(nnz, 1), chunk)
+    if nnz <= chunk:
+        # single-shot: pad only to the vector-friendly 512 boundary
+        chunk = max(_round_up(nnz, 512), 512)
+        nnz_pad = chunk
+    else:
+        # choose the chunk count first, then shrink the chunk so padding is
+        # bounded by num_chunks*512 instead of up to one whole chunk
+        num_chunks = -(-nnz // chunk)
+        chunk = _round_up(-(-nnz // num_chunks), 512)
+        nnz_pad = num_chunks * chunk
     pad = nnz_pad - nnz
     if pad:
         row = np.concatenate([row, np.zeros(pad, np.int32)])

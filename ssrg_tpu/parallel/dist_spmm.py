@@ -89,7 +89,12 @@ def _local_spmm(rows, cols, vals, x_full, block: int, chunk: int,
     if chunk >= nnz:
         gathered = jnp.take(x_full, cols, axis=0) * vals[:, None]
         return jax.ops.segment_sum(gathered, rows, num_segments=block)
-    num_chunks = nnz // chunk
+    num_chunks = -(-nnz // chunk)
+    pad = num_chunks * chunk - nnz
+    if pad:  # static pad so the scan reshape is exact (val 0 => no effect)
+        rows = jnp.pad(rows, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
+        vals = jnp.pad(vals, (0, pad))
 
     def step(acc, inputs):
         r, c, v = inputs

@@ -102,3 +102,23 @@ def test_ring_partition_buckets_cover_all_edges():
     p, _ = _graph(seed=5)
     part = partition_rows_ring(p, 8)
     assert int((part.vals != 0).sum()) == p.nnz
+
+
+def test_dist_propagate_chunk_not_dividing_nnz():
+    """regression: shard nnz_pad not a multiple of chunk must still work."""
+    p, x = _graph(n=307, seed=6)
+    mesh = make_mesh((2,), ("graph",), jax.devices()[:2])
+    part = partition_rows(p, 2)
+    adj = shard_adjacency(part, mesh)
+    xs = shard_features(x, part, mesh)
+    nnz_pad = part.rows.shape[1]
+    odd_chunk = 512
+    while nnz_pad % odd_chunk == 0:
+        odd_chunk += 512
+    assert nnz_pad % odd_chunk != 0 and odd_chunk < nnz_pad
+    hops = np.asarray(dist_propagate(adj, xs, 2, chunk=odd_chunk))
+    single = np.asarray(propagate(build_coo(p), x, 2))
+    for i in range(3):
+        np.testing.assert_allclose(
+            hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
