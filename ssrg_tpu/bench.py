@@ -29,13 +29,19 @@ REFERENCE_SO = (
 
 
 def make_benchmark_graph(
-    num_nodes: int, avg_degree: float, num_features: int, seed: int = 0
+    num_nodes: int, avg_degree: float, num_features: int, seed: int = 0,
+    kind: str = "uniform",
 ):
-    """Random graph with ogbn-arxiv-like statistics + sym normalization."""
-    from ssrg_tpu.data.synthetic import random_graph
+    """Random graph with ogbn-arxiv-like statistics + sym normalization.
+    ``kind='powerlaw'`` uses a hub-heavy degree distribution (the realistic
+    stress case for the hybrid format's overflow tail)."""
+    from ssrg_tpu.data.synthetic import powerlaw_graph, random_graph
     from ssrg_tpu.ops.normalize import sym_norm
 
-    g = random_graph(num_nodes, avg_degree, num_features, seed=seed)
+    if kind == "powerlaw":
+        g = powerlaw_graph(num_nodes, avg_degree, num_features, seed=seed)
+    else:
+        g = random_graph(num_nodes, avg_degree, num_features, seed=seed)
     adj_norm = sym_norm(g.adj, 0.5)
     return adj_norm, g.x
 

@@ -56,6 +56,33 @@ def random_graph(
     return Graph(row, col, w, num_node, "UUU" if not weighted else "UUW", x=x, y=y)
 
 
+def powerlaw_graph(
+    num_node: int,
+    avg_degree: float,
+    num_features: int = 32,
+    num_classes: int = 4,
+    exponent: float = 2.2,
+    seed: int = 0,
+) -> Graph:
+    """Power-law (scale-free-like) random graph via degree-weighted endpoint
+    sampling — hub-heavy degree distribution matching real ogbn graphs, the
+    stress case for the hybrid ELL+COO format's overflow tail."""
+    rng = np.random.default_rng(seed)
+    # target degree propensities ~ zipf
+    w = (np.arange(1, num_node + 1, dtype=np.float64)) ** (-1.0 / (exponent - 1.0))
+    rng.shuffle(w)
+    p = w / w.sum()
+    num_edges = int(num_node * avg_degree / 2)
+    row = rng.choice(num_node, size=num_edges, p=p)
+    col = rng.choice(num_node, size=num_edges, p=p)
+    keep = row != col
+    row, col = row[keep], col[keep]
+    x = rng.normal(size=(num_node, num_features)).astype(np.float32)
+    y = rng.integers(0, num_classes, size=num_node)
+    return Graph(row, col, np.ones(row.shape[0], np.float32), num_node, "UUU",
+                 x=x, y=y)
+
+
 def sbm_graph(
     num_node: int = 1200,
     num_classes: int = 4,

@@ -90,3 +90,19 @@ def test_ell_rejects_overflow():
     adj = _random_csr(50, 50, 0.3, seed=3)
     with pytest.raises(ValueError):
         build_ell(adj, width=1)
+
+
+def test_hybrid_on_powerlaw_graph():
+    """Hub-heavy degree distribution exercises the COO tail heavily."""
+    from ssrg_tpu.data.synthetic import powerlaw_graph
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.ops.sparse import build_hybrid
+
+    g = powerlaw_graph(2000, 10.0, seed=4)
+    deg = g.degrees()
+    assert deg.max() > 8 * deg.mean()  # genuinely hub-heavy
+    p = sym_norm(g.adj, 0.5)
+    x = np.random.default_rng(0).normal(size=(2000, 16)).astype(np.float32)
+    hyb = build_hybrid(p)
+    assert hyb.tail.val.shape[0] > 0
+    np.testing.assert_allclose(np.asarray(hyb.spmm(x)), p @ x, rtol=3e-5, atol=3e-5)
