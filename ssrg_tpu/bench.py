@@ -77,6 +77,23 @@ def _reference_kernel(adj: sp.csr_matrix):
         return None
 
 
+def sgc_precompute(adj_dev, x, prop_steps: int):
+    """K-hop precompute with per-hop wall-time reporting (reference
+    top-level utils.py:71-78 sgc_precompute — the profiling hook).
+    Returns (final feature, [seconds per hop])."""
+    import jax
+    import numpy as np
+
+    h = jax.device_put(np.asarray(x, np.float32))
+    times = []
+    for _ in range(prop_steps):
+        t0 = time.perf_counter()
+        h = adj_dev.spmm(h)
+        _ = np.asarray(h[:1, :1])  # force through remote backends
+        times.append(time.perf_counter() - t0)
+    return h, times
+
+
 def baseline_edges_per_s(
     adj: sp.csr_matrix, x: np.ndarray, prop_steps: int, iters: int = 2
 ) -> tuple[float, str]:

@@ -56,6 +56,29 @@ def make_optimizer(
     return opt
 
 
+def split_labels(
+    labels: np.ndarray,
+    train_per_class: int = 20,
+    num_val: int = 500,
+    num_test: int = 1000,
+    seed: int = 0,
+):
+    """Random class-balanced split (reference top-level utils.py:38-48
+    splitLabels): ``train_per_class`` per class, then ``num_val``/``num_test``
+    from the remainder."""
+    rng = np.random.default_rng(seed)
+    labels = np.asarray(labels)
+    train = []
+    for k in np.unique(labels):
+        idx_k = np.where(labels == k)[0]
+        train.extend(rng.permutation(idx_k)[:train_per_class])
+    train = np.sort(np.asarray(train))
+    rest = rng.permutation(np.setdiff1d(np.arange(labels.shape[0]), train))
+    val = np.sort(rest[:num_val])
+    test = np.sort(rest[num_val : num_val + num_test])
+    return train, val, test
+
+
 def add_labels(features: np.ndarray, labels: np.ndarray, idx: np.ndarray,
                num_classes: int) -> np.ndarray:
     """Concat one-hot labels of ``idx`` rows onto the features

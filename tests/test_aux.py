@@ -224,3 +224,30 @@ def test_resume_from_checkpoint(tmp_path):
         TrainingConfig(num_epochs=1, lr=0.0, seed=2, resume_from=ckpt),
     )
     assert t2.best_val >= t1.best_val - 0.05
+
+
+def test_split_labels_and_sgc_precompute():
+    from ssrg_tpu.train.common import split_labels
+    from ssrg_tpu.bench import sgc_precompute
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.ops.sparse import build_dense
+
+    labels = np.repeat(np.arange(4), 50)
+    tr, va, te = split_labels(labels, 10, 40, 60, seed=1)
+    assert tr.shape[0] == 40
+    for k in range(4):
+        assert (labels[tr] == k).sum() == 10
+    assert va.shape[0] == 40 and te.shape[0] == 60
+    assert len(set(tr) & set(va)) == 0 and len(set(va) & set(te)) == 0
+
+    rng = np.random.default_rng(0)
+    a = (rng.uniform(size=(40, 40)) < 0.15).astype(np.float32)
+    np.fill_diagonal(a, 0)
+    adj = sym_norm(sp.csr_matrix(np.maximum(a, a.T)), 0.5)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    feat, times = sgc_precompute(build_dense(adj), x, 3)
+    assert len(times) == 3 and all(t > 0 for t in times)
+    expected = x
+    for _ in range(3):
+        expected = adj @ expected
+    np.testing.assert_allclose(np.asarray(feat), expected, rtol=3e-5, atol=3e-5)
