@@ -65,6 +65,11 @@ class DataAugmentConfig:
     lr: float = 0.01
     epochs: int = 200
     candidates_per_deficit: int = 100  # reference samples (deficit)*100 candidates
+    # loss-term weights: the reference defines L1(sparse vs clean logits) and
+    # CE(sparse logits) terms but ships with only CE(clean) active
+    # (data_augument.py:39-44); exposed here as optional weights
+    l1_weight: float = 0.0
+    sparse_ce_weight: float = 0.0
 
 
 @dataclass

@@ -69,9 +69,27 @@ def feature_augment(
                 {"params": p}, x_clean, train=True,
                 rngs={"dropout": dropout_rng},
             )
-            return optax.softmax_cross_entropy_with_integer_labels(
+            loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits[train_idx], y[train_idx]
             ).mean()
+            if cfg.l1_weight or cfg.sparse_ce_weight:
+                rng2 = jax.random.fold_in(dropout_rng, 1)
+                _, sp_logits = module.apply(
+                    {"params": p}, x_sparse, train=True, rngs={"dropout": rng2}
+                )
+                if cfg.l1_weight:
+                    # loss1: L1 between sparse and clean logits on train rows
+                    loss = loss + cfg.l1_weight * jnp.abs(
+                        sp_logits[train_idx] - logits[train_idx]
+                    ).mean()
+                if cfg.sparse_ce_weight:
+                    # loss3: CE on the sparse-feature logits
+                    loss = loss + cfg.sparse_ce_weight * (
+                        optax.softmax_cross_entropy_with_integer_labels(
+                            sp_logits[train_idx], y[train_idx]
+                        ).mean()
+                    )
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -105,3 +105,18 @@ def test_full_robustness_roundtrip(tmp_path, base_dataset):
     spec = load_model(mc, aug_ds.num_features, aug_ds.num_classes)
     task = NodeClassification(aug_ds, spec, mc, tc)
     assert task.best_test > 0.7, f"augmented acc {task.best_test:.3f}"
+
+
+def test_augment_auxiliary_losses(base_dataset, tmp_path):
+    """Optional L1 + sparse-CE loss terms train without degradation."""
+    out = str(tmp_path / "sbm_aux")
+    sparsify_dataset(base_dataset, 0.5, 0.5, out, seed=6)
+    ds = load_homo_simplex_sparsity_dataset("sbm_aux", str(tmp_path))
+    from ssrg_tpu.pipelines.augment import feature_augment
+
+    cfg = DataAugmentConfig(hidden_dim=32, epochs=30, lr=0.01,
+                            l1_weight=0.1, sparse_ce_weight=0.1)
+    feature, soft_label = feature_augment(ds, cfg, seed=1)
+    assert feature.shape == (ds.num_node, 32 + ds.num_classes)
+    assert np.isfinite(feature).all()
+    np.testing.assert_allclose(soft_label.sum(1), 1.0, rtol=1e-4)
