@@ -30,16 +30,33 @@ def feature_masked(
 def edge_masked(
     row: np.ndarray, col: np.ndarray, shading_rate: float,
     rng: np.random.Generator,
+    labels: np.ndarray = None,
+    target_heterophilous: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Random edge deletion (reference ``edgeMasked``, data_process.py:43-67):
-    keep the ``col > row`` half, drop ``shading_rate`` of it at random.
-    Returns (mask = surviving-edge permutation indices, half-directed
-    edge_index [2, E'])."""
+    """Edge deletion (reference ``edgeMasked``, data_process.py:43-67):
+    keep the ``col > row`` half, drop ``shading_rate`` of it.
+
+    ``target_heterophilous=True`` preferentially deletes edges whose
+    endpoints have different labels — the reference's commented-out
+    heterophily-targeted variant (data_process.py:59-64), here a working
+    option (falls back to random among homophilous edges if the
+    heterophilous pool runs out). Returns (mask = surviving-edge permutation
+    indices, half-directed edge_index [2, E'])."""
     half = col > row
     row_h, col_h = row[half], col[half]
     e = row_h.shape[0]
     need_delete = int(e * shading_rate)
-    mask = rng.permutation(e)[need_delete:]
+    if target_heterophilous and labels is not None and need_delete:
+        hetero = np.where(labels[row_h] != labels[col_h])[0]
+        homo = np.setdiff1d(np.arange(e), hetero)
+        order = np.concatenate(
+            [rng.permutation(hetero), rng.permutation(homo)]
+        )
+        deleted = order[:need_delete]
+        mask = np.setdiff1d(np.arange(e), deleted)
+        mask = rng.permutation(mask)
+    else:
+        mask = rng.permutation(e)[need_delete:]
     return mask, np.stack([row_h[mask], col_h[mask]])
 
 

@@ -122,3 +122,25 @@ def test_dist_propagate_chunk_not_dividing_nnz():
         np.testing.assert_allclose(
             hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
         )
+
+
+def test_spmd_train_context_2d_mesh():
+    """Full SPMD train step on a ('graph','data') 2-D mesh reduces loss."""
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
+
+    mesh = make_mesh((4, 2), ("graph", "data"), jax.devices()[:8])
+    ds = planetoid_like(num_node=128, num_classes=3, num_features=16, seed=1,
+                        train_per_class=8, num_val=16, num_test=16)
+    cfg = ModelConfig(model_name="gamlp", prop_steps=2, hidden_dim=16,
+                      num_layers=2)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    p = normalize.sym_norm(ds.adj, cfg.r)
+    ctx = build_spmd_context(p, ds.x, ds.y, ds.train_idx, spec.module, mesh,
+                             2, lr=0.05, data_axis="data")
+    ctx, loss0 = run_steps(ctx, 1)
+    ctx, loss_end = run_steps(ctx, 15)
+    assert np.isfinite(loss_end)
+    assert loss_end < loss0

@@ -120,3 +120,21 @@ def test_augment_auxiliary_losses(base_dataset, tmp_path):
     assert feature.shape == (ds.num_node, 32 + ds.num_classes)
     assert np.isfinite(feature).all()
     np.testing.assert_allclose(soft_label.sum(1), 1.0, rtol=1e-4)
+
+
+def test_heterophily_targeted_edge_deletion(base_dataset):
+    """Targeted deletion removes different-label edges first, raising the
+    surviving graph's edge homophily."""
+    from ssrg_tpu.data.utils import edge_homophily
+
+    coo = base_dataset.adj.tocoo()
+    y = base_dataset.y
+    rng = np.random.default_rng(1)
+    _, ei_rand = edge_masked(coo.row, coo.col, 0.4, rng)
+    rng = np.random.default_rng(1)
+    _, ei_tgt = edge_masked(coo.row, coo.col, 0.4, rng, labels=y,
+                            target_heterophilous=True)
+    assert ei_rand.shape == ei_tgt.shape
+    h_rand = edge_homophily(ei_rand[0], ei_rand[1], y)
+    h_tgt = edge_homophily(ei_tgt[0], ei_tgt[1], y)
+    assert h_tgt > h_rand + 0.05
