@@ -68,3 +68,46 @@ def test_mean_norm_rows_sum_to_one(dataset):
     rowsum = np.asarray(p.sum(axis=1)).reshape(-1)
     nz = rowsum > 0
     np.testing.assert_allclose(rowsum[nz], 1.0, rtol=1e-5)
+
+
+def test_gat_attention_matches_dense_oracle():
+    """Single GAT layer vs a dense attention computation with the same
+    parameters."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from ssrg_tpu.models.baselines import BaselineGAT, EdgeList
+
+    rng = np.random.default_rng(0)
+    n, f, heads, d = 16, 6, 2, 4
+    mask_dense = rng.uniform(size=(n, n)) < 0.4
+    adj = sp.csr_matrix(mask_dense.astype(np.float32))
+    edges = EdgeList.from_scipy(adj, pad_to=8)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    gat = BaselineGAT(hidden_dim=d, output_dim=3, num_layers=1, heads=heads,
+                      dropout=0.0)
+    variables = gat.init(jax.random.PRNGKey(0), x, edges, train=False)
+    out = np.asarray(gat.apply(variables, x, edges, train=False))
+
+    p = variables["params"]
+    w = np.asarray(p["w_0"]["kernel"])          # [f, heads*3]
+    a_src = np.asarray(p["a_src_0"])[0]          # [heads, 3]
+    a_dst = np.asarray(p["a_dst_0"])[0]
+    z = (x @ w).reshape(n, heads, 3)
+    s_src = (z * a_src).sum(-1)                  # [n, heads]
+    s_dst = (z * a_dst).sum(-1)
+    outs = np.zeros((n, heads, 3))
+    for h in range(heads):
+        scores = s_dst[:, h][:, None] + s_src[:, h][None, :]   # [dst, src]
+        scores = np.where(scores > 0, scores, 0.2 * scores)    # leaky relu
+        scores = np.where(mask_dense, scores, -np.inf)
+        with np.errstate(over="ignore", invalid="ignore"):
+            e = np.exp(scores - np.nanmax(np.where(mask_dense, scores, np.nan),
+                                          axis=1, keepdims=True, initial=None))
+        e[~mask_dense] = 0
+        denom = e.sum(1, keepdims=True)
+        denom[denom == 0] = 1
+        outs[:, h] = (e / denom) @ z[:, h]
+    expected = outs.mean(axis=1)   # output layer: mean over heads
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
