@@ -87,7 +87,12 @@ def _spmm_kernel(cols_ref, vals_ref, x_hbm, out_ref, scratch, sems):
 class PallasELLAdj:
     """ELL adjacency evaluated by the Pallas gather kernel; overflow edges
     (rows longer than ``width``) live in a COO tail evaluated by the
-    segment-sum engine."""
+    segment-sum engine.
+
+    Note: ``spmm`` is forward-only (no VJP is defined for the hand-written
+    kernel) — use it for the precompute propagation path, which needs no
+    gradients. Differentiable paths (naive GCN / GAT / wavelet layers) use
+    the XLA engines, whose autodiff transpose is the same-format SpMM."""
 
     cols: jnp.ndarray      # int32 [n_pad, width]
     vals: jnp.ndarray      # f32   [n_pad, width]
