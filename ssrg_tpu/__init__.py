@@ -39,3 +39,11 @@ from ssrg_tpu.configs.config import (  # noqa: F401
     WaveletConfig,
     FrameworkConfig,
 )
+
+
+def load_model(*args, **kwargs):
+    """Convenience re-export of :func:`ssrg_tpu.models.zoo.load_model`
+    (lazy import keeps bare-config imports light)."""
+    from ssrg_tpu.models.zoo import load_model as _lm
+
+    return _lm(*args, **kwargs)
