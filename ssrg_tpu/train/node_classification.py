@@ -61,6 +61,11 @@ def prepare(
 ) -> Prepared:
     """Run the one-time precompute: adjacency normalization (host), K-hop
     propagation (device), and non-learnable aggregation (device)."""
+    if not isinstance(spec, ModelSpec):
+        raise TypeError(
+            f"expected a ModelSpec (from ssrg_tpu.models.load_model), got "
+            f"{type(spec).__name__}; did you pass the ModelConfig instead?"
+        )
     t0 = time.time()
     x = jnp.asarray(dataset.x, dtype=jnp.float32)
     engine = training_cfg.spmm_engine

@@ -120,3 +120,27 @@ def test_magnetic_pygsd_norm_runs():
     adj = _random_directed(seed=8)
     re, im = normalize.magnetic_pygsd_norm(adj, 0.5, 0.05)
     assert np.isfinite(re.toarray()).all() and np.isfinite(im.toarray()).all()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_sym_norm_properties(seed):
+    """Property checks: r=0.5 output symmetric for symmetric input; r=1.0 is
+    row-stochastic (random-walk normalization); spectral radius <= 1."""
+    adj = _random_undirected(n=60, density=0.12, seed=seed)
+    half = normalize.sym_norm(adj, 0.5).toarray()
+    np.testing.assert_allclose(half, half.T, rtol=1e-5, atol=1e-7)
+    rw = normalize.sym_norm(adj, 1.0).toarray()
+    np.testing.assert_allclose(rw.sum(1), 1.0, rtol=1e-5)
+    eigs = np.linalg.eigvals(half)
+    assert np.abs(eigs).max() <= 1.0 + 1e-5
+
+
+def test_model_spec_type_guard():
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.train.node_classification import NodeClassification
+
+    ds = planetoid_like(num_node=100, num_classes=3, num_features=8, seed=0)
+    mc = ModelConfig(model_name="sgc")
+    with pytest.raises(TypeError, match="ModelSpec"):
+        NodeClassification(ds, mc, mc, TrainingConfig(num_epochs=1))
