@@ -124,13 +124,16 @@ def test_magnetic_pygsd_norm_runs():
 
 @pytest.mark.parametrize("seed", range(3))
 def test_sym_norm_properties(seed):
-    """Property checks: r=0.5 output symmetric for symmetric input; r=1.0 is
-    row-stochastic (random-walk normalization); spectral radius <= 1."""
+    """Property checks for D^{r-1}(A+I)D^{-r}: r=0.5 output symmetric for
+    symmetric input; r=0 row-stochastic; r=1 column-stochastic; spectral
+    radius <= 1."""
     adj = _random_undirected(n=60, density=0.12, seed=seed)
     half = normalize.sym_norm(adj, 0.5).toarray()
     np.testing.assert_allclose(half, half.T, rtol=1e-5, atol=1e-7)
-    rw = normalize.sym_norm(adj, 1.0).toarray()
+    rw = normalize.sym_norm(adj, 0.0).toarray()
     np.testing.assert_allclose(rw.sum(1), 1.0, rtol=1e-5)
+    cw = normalize.sym_norm(adj, 1.0).toarray()
+    np.testing.assert_allclose(cw.sum(0), 1.0, rtol=1e-5)
     eigs = np.linalg.eigvals(half)
     assert np.abs(eigs).max() <= 1.0 + 1e-5
 
