@@ -132,6 +132,88 @@ def cmd_baseline(args) -> int:
     return 0
 
 
+def cmd_link(args) -> int:
+    """Link classification (reference SSRG/tasks/link_classification.py)."""
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.data.link import synthetic_link_dataset
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.train.link_classification import LinkClassification
+
+    dataset = synthetic_link_dataset(
+        num_node=args.synthetic_nodes,
+        num_classes=args.synthetic_classes,
+        num_features=args.synthetic_features,
+        num_pairs=args.num_pairs,
+        seed=args.seed,
+        label_mode=args.label_mode,
+    )
+    model_cfg = ModelConfig(
+        model_name=args.model_name, num_layers=args.num_layers,
+        dropout=args.dropout, hidden_dim=args.hidden_dim,
+        prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
+        message_alpha=args.message_alpha, q=args.q,
+    )
+    train_cfg = TrainingConfig(
+        seed=args.seed, normalize_times=args.normalize_times,
+        num_epochs=args.num_epochs, lr=args.lr,
+        weight_decay=args.weight_decay, spmm_engine=args.spmm_engine,
+    )
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    task = LinkClassification(
+        dataset, spec, model_cfg, train_cfg, verbose=args.verbose
+    )
+    print(f"Best val: {task.best_val:.4f}, best test: {task.best_test:.4f}")
+    return 0
+
+
+def cmd_gwnn(args) -> int:
+    """Standalone GWNN pipeline (reference wavelet/src/main.py:8-26)."""
+    import json
+
+    import numpy as np
+
+    from ssrg_tpu.models.gwnn import (
+        GWNNConfig, GWNNTrainer, WaveletSparsifier,
+        read_edges_csv, read_features_json, read_targets_csv,
+    )
+
+    if args.edge_path:
+        adj = read_edges_csv(args.edge_path)
+        features = read_features_json(args.features_path, adj.shape[0])
+        targets = read_targets_csv(args.target_path)
+    else:
+        from ssrg_tpu.data.synthetic import sbm_graph
+
+        g = sbm_graph(
+            args.synthetic_nodes, args.synthetic_classes,
+            args.synthetic_features, seed=args.seed,
+        )
+        adj, features, targets = g.adj, g.x, g.y
+
+    cfg = GWNNConfig(
+        epochs=args.num_epochs, filters=args.filters,
+        approximation_order=args.approximation_order,
+        tolerance=args.tolerance, scale=args.scale, dropout=args.dropout,
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        test_size=args.test_size, seed=args.seed,
+    )
+    sparsifier = WaveletSparsifier(
+        adj, cfg.scale, cfg.approximation_order, cfg.tolerance,
+        engine=args.spmm_engine,
+    )
+    sparsifier.calculate_all_wavelets(verbose=args.verbose)
+    trainer = GWNNTrainer(
+        cfg, sparsifier, features, targets, engine=args.spmm_engine
+    )
+    trainer.fit(verbose=args.verbose)
+    acc = trainer.score()
+    print(f"Test accuracy: {acc:.4f}")
+    if args.log_path:
+        with open(args.log_path, "w") as f:
+            json.dump(trainer.logs, f, indent=2)
+    return 0
+
+
 def cmd_bench(args) -> int:
     from ssrg_tpu.bench import run_bench
 
@@ -192,6 +274,46 @@ def main(argv=None) -> int:
     _add_training_flags(p_base)
     _add_data_flags(p_base)
     p_base.set_defaults(fn=cmd_baseline)
+
+    p_link = sub.add_parser(
+        "link", help="link classification (reference tasks/link_classification.py)"
+    )
+    _add_model_flags(p_link)
+    _add_training_flags(p_link)
+    p_link.add_argument("--synthetic_nodes", type=int, default=600)
+    p_link.add_argument("--synthetic_classes", type=int, default=3)
+    p_link.add_argument("--synthetic_features", type=int, default=32)
+    p_link.add_argument("--num_pairs", type=int, default=900)
+    p_link.add_argument("--label_mode", default="source_class",
+                        help="source_class|same_community")
+    p_link.add_argument("--verbose", action="store_true")
+    p_link.set_defaults(fn=cmd_link)
+
+    p_gwnn = sub.add_parser(
+        "gwnn", help="standalone GWNN pipeline (reference wavelet/src/main.py)"
+    )
+    p_gwnn.add_argument("--edge_path", default=None,
+                        help="edge-list CSV; omit for a hermetic SBM graph")
+    p_gwnn.add_argument("--features_path", default=None)
+    p_gwnn.add_argument("--target_path", default=None)
+    p_gwnn.add_argument("--log_path", default=None,
+                        help="write per-epoch JSON logs here")
+    p_gwnn.add_argument("--num_epochs", type=int, default=200)
+    p_gwnn.add_argument("--filters", type=int, default=32)
+    p_gwnn.add_argument("--approximation_order", type=int, default=3)
+    p_gwnn.add_argument("--tolerance", type=float, default=1e-4)
+    p_gwnn.add_argument("--scale", type=float, default=1.0)
+    p_gwnn.add_argument("--dropout", type=float, default=0.5)
+    p_gwnn.add_argument("--lr", type=float, default=0.01)
+    p_gwnn.add_argument("--weight_decay", type=float, default=1e-5)
+    p_gwnn.add_argument("--test_size", type=float, default=0.2)
+    p_gwnn.add_argument("--seed", type=int, default=42)
+    p_gwnn.add_argument("--spmm_engine", default="auto")
+    p_gwnn.add_argument("--synthetic_nodes", type=int, default=600)
+    p_gwnn.add_argument("--synthetic_classes", type=int, default=3)
+    p_gwnn.add_argument("--synthetic_features", type=int, default=32)
+    p_gwnn.add_argument("--verbose", action="store_true")
+    p_gwnn.set_defaults(fn=cmd_gwnn)
 
     p_bench = sub.add_parser("bench", help="K-hop SpMM precompute benchmark")
     p_bench.add_argument("--nodes", type=int, default=169_343)
