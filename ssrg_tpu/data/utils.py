@@ -41,6 +41,25 @@ def to_undirected(row: np.ndarray, col: np.ndarray) -> Tuple[np.ndarray, np.ndar
     return pairs[:, 0], pairs[:, 1]
 
 
+def download_to(url: str, path: str) -> None:
+    """Fetch ``url`` into ``path`` (reference: ``datasets.utils.download_to``,
+    used by the Planetoid downloader, ``planetoid.py:92-97``). This container
+    has no network egress; the helper exists for API parity and raises a
+    clear error pointing at the offline staging layout when the fetch fails."""
+    import os
+    import urllib.request
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r, open(path, "wb") as f:
+            f.write(r.read())
+    except Exception as exc:
+        raise RuntimeError(
+            f"download of {url!r} failed ({exc!r}); this environment has no "
+            f"network egress — stage the file manually at {path!r}"
+        ) from exc
+
+
 def coomatrix_to_arrays(mat) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """COO matrix -> (row, col, data) numpy arrays
     (reference: ``datasets.utils.coomatrix_to_torch_tensor``, torch-free here)."""

@@ -63,3 +63,15 @@ def test_tsne_and_loss_plots(tmp_path):
     loss_out = str(tmp_path / "l.png")
     loss_curve_plot([1.0, 0.5, 0.25], loss_out)
     assert osp.exists(loss_out)
+
+
+def test_download_to_raises_clear_error_offline(tmp_path):
+    # datasets.utils.download_to parity (SURVEY.md §2.9); no egress here
+    import pytest
+
+    from ssrg_tpu.data.utils import download_to
+
+    target = tmp_path / "sub" / "x.bin"
+    with pytest.raises(RuntimeError, match="no network egress"):
+        download_to("http://127.0.0.1:9/none", str(target))
+    assert target.parent.is_dir()  # directory creation happened first
