@@ -105,7 +105,7 @@ def _local_spmm(rows, cols, vals, x_full, block: int, chunk: int,
     if axis is not None:
         # mark the zero accumulator as device-varying over the mesh axis so the
         # scan carry type matches inside shard_map
-        acc0 = jax.lax.pvary(acc0, (axis,))
+        acc0 = jax.lax.pcast(acc0, (axis,), to="varying")
     out, _ = jax.lax.scan(
         step,
         acc0,
@@ -204,8 +204,9 @@ def dist_propagate_ring(
                 visiting = jax.lax.ppermute(visiting, axis, perm)
                 return acc, visiting
 
-            acc0 = jax.lax.pvary(
-                jnp.zeros((block, h_block.shape[1]), jnp.float32), (axis,)
+            acc0 = jax.lax.pcast(
+                jnp.zeros((block, h_block.shape[1]), jnp.float32), (axis,),
+                to="varying",
             )
             acc, _ = jax.lax.fori_loop(
                 0, num_shards, ring_step, (acc0, h_block)
