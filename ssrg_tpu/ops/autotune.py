@@ -40,7 +40,7 @@ def _time_engine(adj_dev: Adjacency, x: jnp.ndarray, reps: int) -> float:
 def autotune_engine(
     adj: sp.spmatrix,
     feature_dim: int,
-    candidates: Sequence[str] = ("dense", "coo", "ell", "hybrid"),
+    candidates: Sequence[str] = ("dense", "coo", "ell", "hybrid", "banded"),
     reps: int = 8,
     dense_limit: int = 16384,
     seed: int = 0,

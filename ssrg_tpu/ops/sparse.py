@@ -213,7 +213,71 @@ class HybridAdj:
         return cls(*children)
 
 
-Adjacency = Union[DenseAdj, COOAdj, ELLAdj, HybridAdj]
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BandedAdj:
+    """Windowed dense-block ("banded") adjacency: propagation-blocking for
+    the MXU.
+
+    For a locality-reordered graph (RCM/BFS — ``ssrg_tpu.ops.reorder``), all
+    neighbors of a 256-row block fall inside one contiguous column window of
+    width ``window``. Each block is stored DENSE; SpMM is then ``nb`` small
+    MXU matmuls against contiguous ``dynamic_slice`` windows of X — zero
+    gathers, fully sequential HBM reads. This trades FLOPs (dense blocks are
+    mostly zeros) for the elimination of random access, which pays off
+    whenever ``window`` ≪ N: the MXU is ~100× oversubscribed relative to the
+    gather engine on this workload.
+
+    The reference has no analog (its CPU kernel streams CSR rows); this is
+    the TPU-native locality tier foreshadowed in docs/PERFORMANCE.md. Use on
+    RCM-reordered real graphs; on random graphs the window degenerates to N
+    and ``build_banded`` refuses (memory budget).
+    """
+
+    blocks: jnp.ndarray   # [nb, row_block, window]  (f32 or bf16)
+    los: jnp.ndarray      # int32 [nb] window start per block
+    n_rows: int
+    n_cols: int
+    row_block: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def window(self) -> int:
+        return int(self.blocks.shape[2])
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        nb, rb, w = self.blocks.shape
+        f = x.shape[1]
+        xp = x
+        if w > x.shape[0]:  # tiny graph: window exceeds N, pad once
+            xp = jnp.pad(x, ((0, w - x.shape[0]), (0, 0)))
+
+        def block(carry, inputs):
+            a, lo = inputs
+            xw = jax.lax.dynamic_slice(xp, (lo, 0), (w, f))
+            out = jnp.dot(
+                a, xw.astype(a.dtype), preferred_element_type=jnp.float32
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(block, None, (self.blocks, self.los))
+        out = outs.reshape(nb * rb, f)[: self.n_rows]
+        return out.astype(x.dtype) if x.dtype != jnp.float32 else out
+
+    def tree_flatten(self):
+        return (self.blocks, self.los), (
+            self.n_rows, self.n_cols, self.row_block,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+Adjacency = Union[DenseAdj, COOAdj, ELLAdj, HybridAdj, BandedAdj]
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +377,57 @@ def build_hybrid(
     return HybridAdj(ell, build_coo(tail, chunk=chunk))
 
 
+def build_banded(
+    adj: sp.spmatrix,
+    row_block: int = 256,
+    lane_pad: int = 128,
+    dtype=jnp.float32,
+    mem_budget_bytes: int = 2 << 30,
+) -> BandedAdj:
+    """Pack a (locality-reordered) adjacency into windowed dense blocks.
+
+    Window width = max over row blocks of the column span, rounded up to
+    ``lane_pad``. Raises ``ValueError`` when the dense-block array would
+    exceed ``mem_budget_bytes`` — the signal that the graph is not banded
+    enough (reorder first, or use the hybrid engine)."""
+    csr = adj.tocsr()
+    n, m = csr.shape
+    nb = -(-max(n, 1) // row_block)
+    itemsize = jnp.dtype(dtype).itemsize
+
+    lo = np.zeros(nb, np.int64)
+    hi = np.zeros(nb, np.int64)
+    for b in range(nb):
+        r0, r1 = b * row_block, min((b + 1) * row_block, n)
+        cols_b = csr.indices[csr.indptr[r0] : csr.indptr[r1]]
+        if cols_b.size:
+            lo[b], hi[b] = cols_b.min(), cols_b.max()
+    lo = (lo // 8) * 8  # sublane-align the slice start
+    window = int((hi - lo).max()) + 1 if n else 1
+    window = _round_up(max(window, 1), lane_pad)
+    need = nb * row_block * window * itemsize
+    if need > mem_budget_bytes:
+        raise ValueError(
+            f"banded pack needs {need/2**30:.2f} GiB (window={window}) > "
+            f"budget {mem_budget_bytes/2**30:.2f} GiB; graph is not banded "
+            f"enough — RCM-reorder it or use engine='hybrid'"
+        )
+    # clamp window starts so dynamic_slice never clips (shifting a window
+    # left is safe: column offsets stay inside [0, window))
+    lo = np.maximum(np.minimum(lo, max(m - window, 0)), 0)
+
+    blocks = np.zeros((nb, row_block, window), np.float32)
+    rows_of = np.repeat(np.arange(n), np.diff(csr.indptr))
+    local_r = rows_of % row_block
+    block_of = rows_of // row_block
+    local_c = csr.indices - lo[block_of]
+    blocks[block_of, local_r, local_c] = csr.data
+    return BandedAdj(
+        jnp.asarray(blocks, dtype=dtype), jnp.asarray(lo, jnp.int32),
+        n_rows=n, n_cols=m, row_block=row_block,
+    )
+
+
 def device_adjacency(
     adj: sp.spmatrix,
     engine: str = "auto",
@@ -336,6 +451,8 @@ def device_adjacency(
         return build_ell(adj, **kwargs)
     if engine == "hybrid":
         return build_hybrid(adj, **kwargs)
+    if engine == "banded":
+        return build_banded(adj, **kwargs)
     if engine == "pallas":
         from ssrg_tpu.ops.pallas_spmm import build_pallas_csr
 

@@ -106,3 +106,90 @@ def test_hybrid_on_powerlaw_graph():
     hyb = build_hybrid(p)
     assert hyb.tail.val.shape[0] > 0
     np.testing.assert_allclose(np.asarray(hyb.spmm(x)), p @ x, rtol=3e-5, atol=3e-5)
+
+
+# -- banded (windowed dense-block) engine ------------------------------------
+
+
+def _banded_random(n, band, density, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), max(1, int(band * density)))
+    offs = rng.integers(-band, band + 1, size=rows.shape[0])
+    cols = np.clip(rows + offs, 0, n - 1)
+    vals = rng.normal(size=rows.shape[0]).astype(np.float32)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+
+def test_banded_matches_scipy():
+    from ssrg_tpu.ops.sparse import build_banded
+
+    adj = _banded_random(700, band=40, density=0.2, seed=1)
+    x = np.random.default_rng(2).normal(size=(700, 16)).astype(np.float32)
+    out = np.asarray(build_banded(adj, row_block=64).spmm(x))
+    np.testing.assert_allclose(out, adj @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_banded_tiny_graph_window_exceeds_n():
+    from ssrg_tpu.ops.sparse import build_banded
+
+    adj = _banded_random(40, band=10, density=0.5, seed=3)
+    x = np.random.default_rng(4).normal(size=(40, 8)).astype(np.float32)
+    out = np.asarray(build_banded(adj, row_block=16).spmm(x))
+    np.testing.assert_allclose(out, adj @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_banded_budget_refusal_on_unordered_graph():
+    from ssrg_tpu.ops.sparse import build_banded
+
+    rng = np.random.default_rng(5)
+    n, nnz = 4096, 16384
+    adj = sp.csr_matrix(
+        (np.ones(nnz, np.float32),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+        shape=(n, n),
+    )
+    with pytest.raises(ValueError, match="not banded enough"):
+        build_banded(adj, mem_budget_bytes=1 << 20)
+
+
+def test_banded_after_rcm_reorder():
+    """RCM turns a clustered graph banded; banded engine matches the oracle
+    through the reorder round-trip."""
+    from ssrg_tpu.data.synthetic import sbm_graph
+    from ssrg_tpu.ops.reorder import apply_permutation, reorder_permutation
+    from ssrg_tpu.ops.sparse import build_banded
+
+    g = sbm_graph(600, 6, 12, seed=7)
+    perm = reorder_permutation(g.adj, "rcm")
+    adj2, x2, _, _ = apply_permutation(g.adj, perm, g.x)
+    out = np.asarray(build_banded(adj2, row_block=64).spmm(x2))
+    np.testing.assert_allclose(out, adj2 @ x2, rtol=2e-4, atol=2e-4)
+
+
+def test_banded_bf16_storage():
+    import jax.numpy as jnp
+
+    from ssrg_tpu.ops.sparse import build_banded
+
+    adj = _banded_random(300, band=30, density=0.3, seed=8)
+    x = np.random.default_rng(9).normal(size=(300, 8)).astype(np.float32)
+    out = np.asarray(build_banded(adj, row_block=64, dtype=jnp.bfloat16).spmm(x))
+    ref = adj @ x
+    # bf16 weights: ~2-3 significant digits
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_banded_in_propagate_and_autotune():
+    from ssrg_tpu.ops.autotune import autotune_engine
+    from ssrg_tpu.ops.propagate import propagate
+    from ssrg_tpu.ops.sparse import build_banded
+
+    adj = _banded_random(256, band=20, density=0.3, seed=10)
+    x = np.random.default_rng(11).normal(size=(256, 8)).astype(np.float32)
+    hops = np.asarray(propagate(build_banded(adj, row_block=64), x, 2))
+    ref = x
+    for k in range(3):
+        np.testing.assert_allclose(hops[k], ref, rtol=1e-3, atol=1e-3)
+        ref = adj @ ref
+    best, timings = autotune_engine(adj, 8, reps=2)
+    assert "banded" in timings
