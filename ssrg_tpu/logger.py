@@ -88,6 +88,42 @@ class MetricsWriter:
         self._fh.close()
 
 
+class device_trace:
+    """Capture a ``jax.profiler`` device trace around a code region.
+
+    TPU-native upgrade of the reference's ad-hoc ``time.time()`` prints
+    (SURVEY.md §5 tracing row): writes a TensorBoard-loadable trace directory
+    with per-op device timelines, HBM traffic, and fusion boundaries.
+
+    >>> with device_trace("/tmp/trace"):
+    ...     hops = propagate(adj_dev, x, 3)
+    ...     jax.block_until_ready(hops)
+
+    No-ops gracefully (with a warning) if the backend cannot trace.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        import jax
+
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception as exc:  # tracing unsupported on this backend
+            get_logger().warning("device_trace disabled: %r", exc)
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
+
+
 class PhaseTimer:
     """Named phase timing (the reference sprinkles ad-hoc time.time() deltas;
     SURVEY.md §5 tracing row). Also computes edges/s given a work count."""
