@@ -116,11 +116,40 @@ def prepare(
                         preprocess_seconds=time.time() - t0)
     from ssrg_tpu.cache import cached_propagate
 
-    hops = cached_propagate(
-        adj_norm, np.asarray(dataset.x), spec.prop_steps,
-        training_cfg.cache_dir, engine,
-        tag=f"{spec.graph_op}:{model_cfg.r}",
-    )
+    if engine == "reorder_banded":
+        # RCM-reorder to make the adjacency banded, propagate on the MXU
+        # banded engine, un-permute the hop stack back to original node
+        # order (downstream slicing/splits are unaffected).
+        from ssrg_tpu.ops.reorder import apply_permutation, reorder_permutation
+
+        perm = reorder_permutation(adj_norm, "rcm")
+        adj_p, x_p, _, inverse = apply_permutation(
+            adj_norm, perm, np.asarray(dataset.x)
+        )
+        try:
+            hops_p = cached_propagate(
+                adj_p, x_p, spec.prop_steps,
+                training_cfg.cache_dir, "banded",
+                tag=f"{spec.graph_op}:{model_cfg.r}:rcm",
+            )
+            hops = jnp.take(hops_p, jnp.asarray(inverse), axis=1)
+        except ValueError as exc:
+            from ssrg_tpu.logger import get_logger
+
+            get_logger().warning(
+                "reorder_banded fell back to hybrid: %s", exc
+            )
+            hops = cached_propagate(
+                adj_norm, np.asarray(dataset.x), spec.prop_steps,
+                training_cfg.cache_dir, "hybrid",
+                tag=f"{spec.graph_op}:{model_cfg.r}",
+            )
+    else:
+        hops = cached_propagate(
+            adj_norm, np.asarray(dataset.x), spec.prop_steps,
+            training_cfg.cache_dir, engine,
+            tag=f"{spec.graph_op}:{model_cfg.r}",
+        )
     hops.block_until_ready()
 
     if spec.pre_msg_learnable:

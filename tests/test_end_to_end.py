@@ -136,3 +136,33 @@ def test_batched_eval_matches_full_eval(dataset):
     )
     assert abs(t_full.best_val - t_batched.best_val) < 1e-6
     assert abs(t_full.best_test - t_batched.best_test) < 1e-6
+
+
+def test_reorder_banded_engine_trains(dataset):
+    """spmm_engine='reorder_banded': RCM + banded MXU precompute, un-permuted
+    hops; must reach the same accuracy band as the default engine."""
+    mc = ModelConfig(model_name="sgc", prop_steps=3)
+    tc = TrainingConfig(num_epochs=60, lr=0.05, spmm_engine="reorder_banded")
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    assert task.best_test > 0.85
+
+
+def test_reorder_banded_matches_default_hops():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssrg_tpu.data.synthetic import sbm_graph
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.ops.propagate import propagate
+    from ssrg_tpu.ops.reorder import apply_permutation, reorder_permutation
+    from ssrg_tpu.ops.sparse import build_banded, device_adjacency
+
+    g = sbm_graph(500, 5, 16, seed=3)
+    adj = sym_norm(g.adj, 0.5)
+    ref = np.asarray(propagate(device_adjacency(adj, "coo"), g.x, 3))
+    perm = reorder_permutation(adj, "rcm")
+    adj_p, x_p, _, inverse = apply_permutation(adj, perm, g.x)
+    hops_p = propagate(build_banded(adj_p, row_block=64), x_p, 3)
+    hops = np.asarray(jnp.take(hops_p, jnp.asarray(inverse), axis=1))
+    np.testing.assert_allclose(hops, ref, rtol=2e-4, atol=2e-4)
