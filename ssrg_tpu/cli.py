@@ -40,7 +40,7 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--train_batch_size", type=int, default=None)
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--spmm_engine", default="auto",
-                   help="auto|dense|coo|ell|pallas")
+                   help="auto|dense|coo|ell|hybrid|banded|reorder_banded|pallas|autotune")
 
 
 def _add_data_flags(p: argparse.ArgumentParser) -> None:
