@@ -28,15 +28,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.tree_util.register_pytree_node_class
 class EdgeList:
     """Padded COO edge list for edge-level ops (GAT attention): col-sorted
-    entries with a validity mask; static shapes for XLA."""
+    entries with a validity mask; static shapes for XLA. Registered as a
+    pytree so it can be passed as a jit argument (never closure-captured:
+    captured device arrays become HLO constants)."""
 
     def __init__(self, row, col, mask, num_nodes: int):
         self.row = row          # int32 [E_pad] destination
         self.col = col          # int32 [E_pad] source
         self.mask = mask        # f32 [E_pad] 1 on real edges
         self.num_nodes = num_nodes
+
+    def tree_flatten(self):
+        return (self.row, self.col, self.mask), self.num_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
 
     @classmethod
     def from_scipy(cls, adj, pad_to: int = 512) -> "EdgeList":

@@ -182,21 +182,31 @@ class GWNNTrainer:
         tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
         opt_state = tx.init(params)
 
+        # x/phi/y ride through jit as ARGUMENTS, not closure captures —
+        # captured device arrays become HLO constants (slow compiles; request
+        # size limits on remote-compile relays)
         @jax.jit
-        def step(params, opt_state, rng):
+        def step(x, phi, phi_inv, y, train_idx, params, opt_state, rng):
             def loss_fn(p):
                 logp = self.module.apply(
-                    {"params": p}, self.x, self.phi, self.phi_inv,
+                    {"params": p}, x, phi, phi_inv,
                     train=True, rngs={"dropout": rng},
                 )
                 nll = -jnp.take_along_axis(
-                    logp[self.train_idx], self.y[self.train_idx][:, None], axis=1
+                    logp[train_idx], y[train_idx][:, None], axis=1
                 ).mean()
                 return nll
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
+
+        from functools import partial as _partial
+
+        step = _partial(
+            step, self.x, self.phi, self.phi_inv, self.y,
+            jnp.asarray(self.train_idx),
+        )
 
         for epoch in range(cfg.epochs):
             t0 = time.time()

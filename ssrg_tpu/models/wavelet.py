@@ -125,14 +125,17 @@ def calculate_wavelets(
     lap_dev = device_adjacency(lap.astype(np.float32), engine)
     batch = min(cfg.impulse_batch, n)
 
+    # the Laplacian is a jit ARGUMENT (not a closure capture): captured
+    # device arrays are inlined into the HLO as constants, which bloats
+    # compiles and overflows remote-compile request limits at scale
     @jax.jit
-    def eval_block(coeffs_arr, lo):
+    def eval_block(lap_arg, coeffs_arr, lo):
         impulse = jnp.zeros((n, batch), jnp.float32)
         idx = lo + jnp.arange(batch)
         impulse = impulse.at[jnp.clip(idx, 0, n - 1), jnp.arange(batch)].set(
             jnp.where(idx < n, 1.0, 0.0)
         )
-        return cheby_op_batch(lap_dev, list(coeffs_arr), impulse, lmax)
+        return cheby_op_batch(lap_arg, list(coeffs_arr), impulse, lmax)
 
     mats = []
     for tau in (-cfg.scale, cfg.scale):
@@ -141,7 +144,7 @@ def calculate_wavelets(
         for lo in range(0, n, batch):
             hi = min(lo + batch, n)
             width = hi - lo
-            out = np.array(eval_block(jnp.asarray(coeffs), lo))[:, :width]
+            out = np.array(eval_block(lap_dev, jnp.asarray(coeffs), lo))[:, :width]
             out[out < cfg.tolerance] = 0.0   # reference's threshold semantics
             cols.append(sp.csr_matrix(out))
         mat = sp.hstack(cols).tocsr()

@@ -22,18 +22,22 @@ from ssrg_tpu.ops.sparse import Adjacency, device_adjacency
 
 
 def _time_engine(adj_dev: Adjacency, x: jnp.ndarray, reps: int) -> float:
+    # NOTE: the adjacency must be a jit ARGUMENT, not a closure capture —
+    # captured device arrays are inlined into the HLO as constants, which
+    # bloats (re)compilation and overflows remote-compile request limits on
+    # tunneled backends (observed: HTTP 413 at ~0.8 GB constants).
     @partial(jax.jit, static_argnames=("n",))
-    def many(h0, n):
+    def many(a, h0, n):
         def body(c, _):
-            out = adj_dev.spmm(h0)
+            out = a.spmm(h0)
             return c + out.ravel()[0], None
 
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return out
 
-    _ = float(many(x, reps))  # compile + warm
+    _ = float(many(adj_dev, x, reps))  # compile + warm
     t0 = time.perf_counter()
-    _ = float(many(x, reps))
+    _ = float(many(adj_dev, x, reps))
     return (time.perf_counter() - t0) / reps
 
 

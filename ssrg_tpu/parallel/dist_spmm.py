@@ -35,9 +35,13 @@ except ImportError:  # pragma: no cover - older jax
 from ssrg_tpu.parallel.partition import RowPartition, pad_features
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class ShardedAdj:
-    """Device-resident row-partitioned adjacency bound to a mesh axis."""
+    """Device-resident row-partitioned adjacency bound to a mesh axis.
+
+    Registered as a pytree so it can be passed as a jit argument (never
+    closure-captured: captured device arrays become HLO constants)."""
 
     rows: jax.Array   # int32 [D, nnz_pad] (sharded over axis 0)
     cols: jax.Array   # int32 [D, nnz_pad]
@@ -46,6 +50,15 @@ class ShardedAdj:
     axis: str
     block: int
     n: int
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (
+            self.mesh, self.axis, self.block, self.n,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @property
     def num_shards(self) -> int:

@@ -101,9 +101,12 @@ def build_spmd_context(
     tx = make_optimizer(lr, weight_decay)
     opt_state = tx.init(params)
 
+    # the sharded adjacency is a jit ARGUMENT (partial-bound), not a closure
+    # capture — captured device arrays become HLO constants (slow compiles,
+    # remote-compile size limits at papers100M scale)
     @jax.jit
-    def step_fn(params, opt_state, xs, y_dev, mask_dev, dropout_rng):
-        hops = dist_propagate(sharded_adj, xs, prop_steps)  # [K+1, n_pad, F]
+    def step_fn(adj_arg, params, opt_state, xs, y_dev, mask_dev, dropout_rng):
+        hops = dist_propagate(adj_arg, xs, prop_steps)  # [K+1, n_pad, F]
         # reshard node rows across the full mesh for the dense phase
         hops = jax.lax.with_sharding_constraint(hops, hops_train_spec)
 
@@ -121,6 +124,8 @@ def build_spmd_context(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    from functools import partial as _partial
+
     return SPMDTrainContext(
         mesh=mesh,
         adj=sharded_adj,
@@ -129,7 +134,7 @@ def build_spmd_context(
         train_mask=mask_dev,
         params=params,
         opt_state=opt_state,
-        step_fn=step_fn,
+        step_fn=_partial(step_fn, sharded_adj),
     )
 
 

@@ -62,8 +62,11 @@ def feature_augment(
     tx = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = tx.init(params)
 
+    # feature/label arrays ride through jit as ARGUMENTS (partial-bound),
+    # not closure captures — captured device arrays become HLO constants
     @jax.jit
-    def train_step(params, opt_state, dropout_rng):
+    def train_step(x_clean, x_sparse, y, train_idx, params, opt_state,
+                   dropout_rng):
         def loss_fn(p):
             _, logits = module.apply(
                 {"params": p}, x_clean, train=True,
@@ -96,10 +99,15 @@ def feature_augment(
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def test_acc(params):
+    def test_acc(x_sparse, y, test_idx, params):
         _, logits = module.apply({"params": params}, x_sparse, train=False)
         pred = jnp.argmax(logits[test_idx], axis=1)
         return jnp.mean((pred == y[test_idx]).astype(jnp.float32))
+
+    from functools import partial as _partial
+
+    train_step = _partial(train_step, x_clean, x_sparse, y, train_idx)
+    test_acc = _partial(test_acc, x_sparse, y, test_idx)
 
     best_acc, best_params = -1.0, params
     for epoch in range(cfg.epochs):

@@ -57,15 +57,17 @@ class TrainModel:
             module, init_rng, self.x[:2], cfg.lr, cfg.weight_decay
         )
 
+        # features/labels ride through jit as ARGUMENTS (partial-bound), not
+        # closure captures — captured device arrays become HLO constants
         @jax.jit
-        def train_step(state, rng):
+        def train_step(x, y, train_idx, state, rng):
             def loss_fn(params):
                 _, logits = module.apply(
-                    {"params": params}, self.x, train=True,
+                    {"params": params}, x, train=True,
                     rngs={"dropout": rng},
                 )
                 return cross_entropy_loss(
-                    logits[self.train_idx], self.y[self.train_idx]
+                    logits[train_idx], y[train_idx]
                 ), logits
 
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -74,16 +76,23 @@ class TrainModel:
             return state.apply_gradients(grads=grads), loss
 
         @jax.jit
-        def eval_step(state):
+        def eval_step(x, y, val_idx, test_idx, state):
             mid, logits = module.apply(
-                {"params": state.params}, self.x, train=False
+                {"params": state.params}, x, train=False
             )
             return (
-                accuracy(logits[self.val_idx], self.y[self.val_idx]),
-                accuracy(logits[self.test_idx], self.y[self.test_idx]),
+                accuracy(logits[val_idx], y[val_idx]),
+                accuracy(logits[test_idx], y[test_idx]),
                 mid,
                 logits,
             )
+
+        from functools import partial as _partial
+
+        train_step = _partial(train_step, self.x, self.y, self.train_idx)
+        eval_step = _partial(
+            eval_step, self.x, self.y, self.val_idx, self.test_idx
+        )
 
         best_val = best_test = 0.0
         for epoch in range(cfg.num_epochs):

@@ -229,28 +229,31 @@ class BaselineTask:
 
         state = self._init_state(init_rng)
 
+        # inputs/adjacency/labels/idx ride through jit as ARGUMENTS
+        # (partial-bound), not closure captures — captured device arrays
+        # become HLO constants (slow compiles; remote-compile size limits)
         @jax.jit
-        def train_step(state, rng):
+        def train_step(inputs, adj_op, labels, idx, state, rng):
             def loss_fn(params):
                 out, new_bs = self._apply(
-                    params, state.batch_stats, self.inputs, self.adj_op, True, rng
+                    params, state.batch_stats, inputs, adj_op, True, rng
                 )
-                tr = self.idx["train"]
+                tr = idx["train"]
                 if robust:
                     hidden, logp = out
                     loss = -jnp.mean(
                         jnp.take_along_axis(
-                            logp[tr], self.labels[tr][:, None], axis=1
+                            logp[tr], labels[tr][:, None], axis=1
                         )
                     )
                     if self.triplet_weight:
                         loss = loss + self.triplet_weight * triplet_loss(
-                            hidden, self.labels, tr, self.num_classes
+                            hidden, labels, tr, self.num_classes
                         )
                     logits = logp
                 else:
                     logits = out
-                    loss = cross_entropy_loss(logits[tr], self.labels[tr])
+                    loss = cross_entropy_loss(logits[tr], labels[tr])
                 return loss, (logits, new_bs)
 
             (loss, (logits, new_bs)), grads = jax.value_and_grad(
@@ -262,16 +265,24 @@ class BaselineTask:
             return state, loss
 
         @jax.jit
-        def eval_step(state):
+        def eval_step(inputs, adj_op, labels, idx, state):
             out, _ = self._apply(
-                state.params, state.batch_stats, self.inputs, self.adj_op,
-                False, None,
+                state.params, state.batch_stats, inputs, adj_op, False, None,
             )
             logits = out[1] if robust else out
             return tuple(
-                accuracy(logits[self.idx[k]], self.labels[self.idx[k]])
+                accuracy(logits[idx[k]], labels[idx[k]])
                 for k in ("train", "val", "test")
             )
+
+        from functools import partial as _partial
+
+        train_step = _partial(
+            train_step, self.inputs, self.adj_op, self.labels, self.idx
+        )
+        eval_step = _partial(
+            eval_step, self.inputs, self.adj_op, self.labels, self.idx
+        )
 
         cluster_step = None
         if self.cluster_batches is not None:

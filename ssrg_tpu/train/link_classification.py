@@ -106,14 +106,17 @@ class LinkClassification:
             query_edges=tr_pairs[:2], **init_kwargs,
         )
 
-        apply_kwargs = dict(init_kwargs)
-
+        # inputs + adjacency ride through jit as ARGUMENTS (partial-bound),
+        # not closure captures — captured device arrays become HLO constants
+        # (slow compiles; HTTP 413 on remote-compile relays at scale)
         @jax.jit
-        def train_step(state, pairs, labels, weights, rng):
+        def train_step(inputs, adj, state, pairs, labels, weights, rng):
+            kw = {"adj": adj} if adj is not None else {}
+
             def loss_fn(params):
                 logits = module.apply(
-                    {"params": params}, p.inputs, train=True,
-                    query_edges=pairs, rngs={"dropout": rng}, **apply_kwargs,
+                    {"params": params}, inputs, train=True,
+                    query_edges=pairs, rngs={"dropout": rng}, **kw,
                 )
                 return cross_entropy_loss(logits, labels, weights), logits
 
@@ -123,12 +126,18 @@ class LinkClassification:
             return state.apply_gradients(grads=grads), loss, accuracy(logits, labels)
 
         @jax.jit
-        def eval_step(state, pairs, labels):
+        def eval_step(inputs, adj, state, pairs, labels):
+            kw = {"adj": adj} if adj is not None else {}
             logits = module.apply(
-                {"params": state.params}, p.inputs, train=False,
-                query_edges=pairs, **apply_kwargs,
+                {"params": state.params}, inputs, train=False,
+                query_edges=pairs, **kw,
             )
             return accuracy(logits, labels)
+
+        from functools import partial as _partial
+
+        train_step = _partial(train_step, p.inputs, p.adj_device)
+        eval_step = _partial(eval_step, p.inputs, p.adj_device)
 
         best_val = best_test = 0.0
         minibatch = cfg.train_batch_size is not None

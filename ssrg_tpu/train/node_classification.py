@@ -175,13 +175,18 @@ def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
     after a full-graph forward (naive GCN / spectral); otherwise inputs are
     already the batch rows."""
 
-    def forward(params, batch_stats, inputs, train, rng):
+    # NOTE: the adjacency flows through the jitted steps as an ARGUMENT
+    # (bound with functools.partial below), never as a closure capture:
+    # captured device arrays are inlined into the HLO as constants, which
+    # bloats compilation and overflows remote-compile request limits on
+    # tunneled backends (observed: HTTP 413 at ~0.8 GB of constants).
+    def forward(adj, params, batch_stats, inputs, train, rng):
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
         kwargs = {"train": train}
-        if adj_device is not None:
-            kwargs["adj"] = adj_device
+        if adj is not None:
+            kwargs["adj"] = adj
         out = module.apply(
             variables,
             inputs,
@@ -195,9 +200,11 @@ def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
         return out, batch_stats
 
     @jax.jit
-    def train_step(state: TrainState, inputs, labels, weights, idx, rng):
+    def train_step(adj, state: TrainState, inputs, labels, weights, idx, rng):
         def loss_fn(params):
-            logits, new_bs = forward(params, state.batch_stats, inputs, True, rng)
+            logits, new_bs = forward(
+                adj, params, state.batch_stats, inputs, True, rng
+            )
             if idx is not None:
                 logits = logits[idx]
             loss = cross_entropy_loss(logits, labels, weights)
@@ -212,13 +219,17 @@ def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
         return state, loss, accuracy(logits, labels)
 
     @jax.jit
-    def eval_step(state: TrainState, inputs, labels, idx):
-        logits, _ = forward(state.params, state.batch_stats, inputs, False, None)
+    def eval_step(adj, state: TrainState, inputs, labels, idx):
+        logits, _ = forward(
+            adj, state.params, state.batch_stats, inputs, False, None
+        )
         if idx is not None:
             logits = logits[idx]
         return accuracy(logits, labels), logits
 
-    return train_step, eval_step
+    from functools import partial as _partial
+
+    return _partial(train_step, adj_device), _partial(eval_step, adj_device)
 
 
 class NodeClassification:
