@@ -41,6 +41,9 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--spmm_engine", default="auto",
                    help="auto|dense|coo|ell|hybrid|banded|reorder_banded|pallas|autotune")
+    p.add_argument("--scan_epochs", action="store_true",
+                   help="run all epochs inside one jitted lax.scan "
+                        "(single dispatch; full-batch, BN-free runs)")
 
 
 def _add_data_flags(p: argparse.ArgumentParser) -> None:
@@ -90,6 +93,7 @@ def cmd_train(args) -> int:
         train_batch_size=args.train_batch_size,
         eval_batch_size=args.eval_batch_size,
         spmm_engine=args.spmm_engine,
+        scan_epochs=args.scan_epochs,
     )
     spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
     task = NodeClassification(

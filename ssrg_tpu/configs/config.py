@@ -117,6 +117,9 @@ class TrainingConfig:
     cache_dir: Optional[str] = None  # disk cache for propagated hop features
     checkpoint_path: Optional[str] = None  # save best-val params here
     resume_from: Optional[str] = None      # warm-start params from a checkpoint
+    scan_epochs: bool = False  # run ALL epochs inside one jitted lax.scan
+    # (train + eval + device-side best-val tracking in a single dispatch —
+    # the idiomatic TPU trainer shape; eligible for full-batch, BN-free runs)
 
 
 @dataclass

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -229,7 +230,15 @@ def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
 
     from functools import partial as _partial
 
-    return _partial(train_step, adj_device), _partial(eval_step, adj_device)
+    # raw fns (adjacency as explicit first arg) are also returned so callers
+    # composing larger jitted programs (the epoch-scan trainer) can pass the
+    # adjacency through their own argument list instead of re-capturing it
+    return (
+        _partial(train_step, adj_device),
+        _partial(eval_step, adj_device),
+        train_step,
+        eval_step,
+    )
 
 
 class NodeClassification:
@@ -337,7 +346,11 @@ class NodeClassification:
                 params=load_params(state.params, cfg.resume_from)
             )
         has_bn = state.batch_stats is not None
-        train_step, eval_step = _make_step_fns(p.module, p.adj_device, has_bn)
+        # build the jitted step fns ONCE per task: rebuilding them each
+        # execute() would retrace/recompile on every normalize_times run
+        if getattr(self, "_step_fns", None) is None:
+            self._step_fns = _make_step_fns(p.module, p.adj_device, has_bn)
+        train_step, eval_step, train_step_raw, eval_step_raw = self._step_fns
 
         full_graph = p.adj_device is not None
         if full_graph:
@@ -357,6 +370,48 @@ class NodeClassification:
 
         best_val = best_test = 0.0
         minibatch = cfg.train_batch_size is not None and not full_graph
+
+        use_scan = (
+            cfg.scan_epochs
+            and not minibatch
+            and not has_bn
+            and (cfg.eval_batch_size is None or full_graph)
+        )
+        if use_scan:
+            state, best_val, best_test, best_params, best_epoch, history = (
+                self._execute_scanned(
+                    state, train_step_raw, eval_step_raw,
+                    train_in, y_train, train_sel,
+                    val_in, y_val, val_sel,
+                    test_in, y_test, test_sel,
+                    rng,
+                )
+            )
+            if self.verbose and cfg.normalize_times == 1:
+                for epoch, (loss, av, at) in enumerate(zip(*history)):
+                    print(
+                        f"Epoch: {epoch + 1:03d}, loss_train: {loss:.4f}, "
+                        f"acc_val: {av:.4f}, acc_test: {at:.4f}"
+                    )
+            if cfg.checkpoint_path:
+                from ssrg_tpu.cache import save_params
+
+                save_params(
+                    best_params, cfg.checkpoint_path,
+                    metadata={
+                        "epoch": best_epoch + 1, "val_acc": best_val,
+                        "test_acc": best_test, "model": self.spec.name,
+                    },
+                )
+            if self.post_graph_op is not None:
+                acc_val, acc_test = self._postprocess(state, eval_step)
+                if acc_val > best_val:
+                    best_val, best_test = acc_val, acc_test
+            self.record["val_acc"].append(best_val)
+            self.record["test_acc"].append(best_test)
+            self.state = state
+            return best_val, best_test
+
         for epoch in range(cfg.num_epochs):
             rng, step_rng = jax.random.split(rng)
             if minibatch:
@@ -416,6 +471,77 @@ class NodeClassification:
         self.record["test_acc"].append(best_test)
         self.state = state
         return best_val, best_test
+
+    def _execute_scanned(
+        self, state, train_step_raw, eval_step_raw,
+        train_in, y_train, train_sel, val_in, y_val, val_sel,
+        test_in, y_test, test_sel, rng,
+    ):
+        """Whole-training-run-in-one-dispatch: ``lax.scan`` over epochs with
+        train step + val/test eval + device-side best-val/param tracking.
+
+        The idiomatic TPU trainer shape: one compiled program, no per-epoch
+        host round-trips (the reference's epoch loop is host-driven,
+        ``tasks/node_classification.py:72-92``; on a high-RTT backend the
+        host loop pays ~4 dispatches/epoch). Params are tiny MLP heads, so
+        carrying a best-params copy costs nothing."""
+        p = self.prepared
+        num_epochs = self.cfg.num_epochs
+        adj = p.adj_device
+
+        # the jitted runner is built ONCE per task (cached on self): a fresh
+        # function object per execute() would retrace on every run
+        if getattr(self, "_scan_runner", None) is None:
+
+            @partial(jax.jit, static_argnames=("epochs",))
+            def run(adj, state, train_in, y_train, train_sel, val_in, y_val,
+                    val_sel, test_in, y_test, test_sel, rng0, epochs):
+                def epoch(carry, i):
+                    state, best_val, best_test, best_params, best_epoch = carry
+                    step_rng = jax.random.fold_in(rng0, i)
+                    state, loss, _ = train_step_raw(
+                        adj, state, train_in, y_train, None, train_sel,
+                        step_rng,
+                    )
+                    acc_val, _ = eval_step_raw(
+                        adj, state, val_in, y_val, val_sel
+                    )
+                    acc_test, _ = eval_step_raw(
+                        adj, state, test_in, y_test, test_sel
+                    )
+                    better = acc_val > best_val
+                    best_val = jnp.where(better, acc_val, best_val)
+                    best_test = jnp.where(better, acc_test, best_test)
+                    best_epoch = jnp.where(better, i, best_epoch)
+                    best_params = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(better, a, b),
+                        state.params, best_params,
+                    )
+                    return (
+                        (state, best_val, best_test, best_params, best_epoch),
+                        (loss, acc_val, acc_test),
+                    )
+
+                init = (
+                    state, jnp.float32(0.0), jnp.float32(0.0), state.params,
+                    jnp.int32(0),
+                )
+                carry, history = jax.lax.scan(
+                    epoch, init, jnp.arange(epochs), length=epochs
+                )
+                return carry, history
+
+            self._scan_runner = run
+
+        (state, bv, bt, best_params, best_epoch), history = self._scan_runner(
+            adj, state, train_in, y_train, train_sel, val_in, y_val, val_sel,
+            test_in, y_test, test_sel, rng, num_epochs,
+        )
+        history = tuple(np.asarray(h) for h in history)
+        return (
+            state, float(bv), float(bt),
+            jax.device_get(best_params), int(best_epoch), history,
+        )
 
     def _postprocess(self, state, eval_step) -> Tuple[float, float]:
         """Label-propagation postprocess: re-propagate softmax outputs through

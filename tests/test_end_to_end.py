@@ -166,3 +166,44 @@ def test_reorder_banded_matches_default_hops():
     hops_p = propagate(build_banded(adj_p, row_block=64), x_p, 3)
     hops = np.asarray(jnp.take(hops_p, jnp.asarray(inverse), axis=1))
     np.testing.assert_allclose(hops, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_epochs_trainer_matches_band(dataset):
+    """scan_epochs=True runs all epochs in one jitted lax.scan; same
+    best-val protocol, same accuracy band, device-side best tracking."""
+    mc = ModelConfig(model_name="sgc", prop_steps=3)
+    tc = TrainingConfig(num_epochs=80, lr=0.05, scan_epochs=True)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    assert task.best_test > 0.85
+
+
+def test_scan_epochs_gamlp_learnable_agg(dataset):
+    mc = ModelConfig(model_name="gamlp", prop_steps=3, hidden_dim=64,
+                     num_layers=2)
+    tc = TrainingConfig(num_epochs=80, lr=0.01, scan_epochs=True)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    assert task.best_test > 0.85
+
+
+def test_scan_epochs_checkpoints_best_params(dataset, tmp_path):
+    ckpt = str(tmp_path / "best.ckpt")
+    mc = ModelConfig(model_name="sgc", prop_steps=3)
+    tc = TrainingConfig(num_epochs=40, lr=0.05, scan_epochs=True,
+                        checkpoint_path=ckpt)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    from ssrg_tpu.cache import load_metadata
+
+    meta = load_metadata(ckpt)
+    assert meta["val_acc"] == task.best_val
+    assert meta["epoch"] >= 1
+
+
+def test_scan_epochs_naive_gcn_full_graph(dataset):
+    mc = ModelConfig(model_name="gcn", hidden_dim=64)
+    tc = TrainingConfig(num_epochs=80, lr=0.01, scan_epochs=True)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    assert task.best_test > 0.7
