@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,11 +138,55 @@ class LinkClassification:
 
         from functools import partial as _partial
 
+        train_step_raw, eval_step_raw = train_step, eval_step
         train_step = _partial(train_step, p.inputs, p.adj_device)
         eval_step = _partial(eval_step, p.inputs, p.adj_device)
 
         best_val = best_test = 0.0
         minibatch = cfg.train_batch_size is not None
+
+        if getattr(cfg, "scan_epochs", False) and not minibatch:
+            # whole run in one jitted lax.scan (same shape as the node task's
+            # epoch-scan trainer; see node_classification._execute_scanned)
+            va_pairs, va_labels = self.pairs["val"]
+            te_pairs, te_labels = self.pairs["test"]
+
+            if getattr(self, "_scan_runner", None) is None:
+
+                @partial(jax.jit, static_argnames=("epochs",))
+                def run(inputs, adj, state, trp, trl, vap, val_l, tep, tel,
+                        rng0, epochs):
+                    def epoch(carry, i):
+                        state, best_val, best_test = carry
+                        step_rng = jax.random.fold_in(rng0, i)
+                        state, loss, _ = train_step_raw(
+                            inputs, adj, state, trp, trl, None, step_rng
+                        )
+                        acc_val = eval_step_raw(inputs, adj, state, vap, val_l)
+                        acc_test = eval_step_raw(inputs, adj, state, tep, tel)
+                        better = acc_val > best_val
+                        best_val = jnp.where(better, acc_val, best_val)
+                        best_test = jnp.where(better, acc_test, best_test)
+                        return (state, best_val, best_test), loss
+
+                    init = (state, jnp.float32(0.0), jnp.float32(0.0))
+                    return jax.lax.scan(
+                        epoch, init, jnp.arange(epochs), length=epochs
+                    )
+
+                self._scan_runner = run
+
+            (state, bv, bt), _ = self._scan_runner(
+                p.inputs, p.adj_device, state, tr_pairs, tr_labels,
+                va_pairs, va_labels, te_pairs, te_labels, rng,
+                cfg.num_epochs,
+            )
+            best_val, best_test = float(bv), float(bt)
+            self.record["val_acc"].append(best_val)
+            self.record["test_acc"].append(best_test)
+            self.state = state
+            return best_val, best_test
+
         for epoch in range(cfg.num_epochs):
             if minibatch:
                 order = np.arange(int(tr_pairs.shape[0]))

@@ -42,3 +42,13 @@ def test_train_model_mid_dim():
     mid, logits = tm.get_mid_dim()
     assert mid.shape == (ds.num_node, 32)
     assert logits.shape == (ds.num_node, ds.num_classes)
+
+
+def test_link_scan_epochs_trainer():
+    ds = synthetic_link_dataset(num_node=300, num_features=32, num_pairs=400,
+                                seed=1)
+    mc = ModelConfig(model_name="sgc", prop_steps=2)
+    tc = TrainingConfig(num_epochs=60, lr=0.05, scan_epochs=True)
+    spec = load_model(mc, ds.num_features, ds.num_classes)
+    task = LinkClassification(ds, spec, mc, tc)
+    assert task.best_test > 0.7
