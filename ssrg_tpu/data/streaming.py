@@ -45,16 +45,17 @@ def stream_degrees(
 ) -> np.ndarray:
     """Pass 1: degree of the symmetrized adjacency (+I) from a memory-mapped
     edge file, O(N) memory."""
+    from ssrg_tpu.native import edge_degree_accumulate
+
     edges = np.load(edges_path, mmap_mode="r")
     e = edges.shape[1]
-    deg = np.zeros(num_nodes, np.float64)
+    counts = np.zeros(num_nodes, np.int64)
     for lo in range(0, e, chunk_edges):
         hi = min(lo + chunk_edges, e)
-        src = np.asarray(edges[0, lo:hi])
-        dst = np.asarray(edges[1, lo:hi])
-        keep = src != dst
-        np.add.at(deg, src[keep], 1.0)
-        np.add.at(deg, dst[keep], 1.0)
+        src = np.asarray(edges[0, lo:hi], np.int64)
+        dst = np.asarray(edges[1, lo:hi], np.int64)
+        edge_degree_accumulate(src, dst, counts)  # native OMP / bincount
+    deg = counts.astype(np.float64)
     if add_self_loops:
         deg += 1.0
     return deg

@@ -82,6 +82,10 @@ def load_library() -> Optional[ctypes.CDLL]:
             _i32, _f32, _i32, _i32, _f32,
         ]
         lib.ell_hybrid_pack.restype = ctypes.c_int64
+        lib.edge_degree_accumulate.argtypes = [
+            _i64, _i64, ctypes.c_int64, _i64,
+        ]
+        lib.edge_degree_accumulate.restype = None
         lib.omp_max_threads.restype = ctypes.c_int
         _lib = lib
     except OSError:
@@ -127,6 +131,26 @@ def symmetrize_edges(
     adj.eliminate_zeros()
     coo = adj.tocoo()
     return coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data.astype(np.float32)
+
+
+def edge_degree_accumulate(
+    src: np.ndarray, dst: np.ndarray, deg: np.ndarray
+) -> None:
+    """In-place symmetric degree accumulation from a directed edge chunk:
+    ``deg[src]++, deg[dst]++`` for non-self-loop edges. ``deg`` is int64
+    [N]. Native OMP path with a ``np.bincount`` fallback (both ~20x faster
+    than ``np.add.at`` on ogbn-scale chunks)."""
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    assert deg.dtype == np.int64 and deg.flags["C_CONTIGUOUS"]
+    lib = load_library()
+    if lib is not None and src.size:
+        lib.edge_degree_accumulate(src, dst, src.size, deg)
+        return
+    keep = src != dst
+    n = deg.shape[0]
+    deg += np.bincount(src[keep], minlength=n).astype(np.int64)
+    deg += np.bincount(dst[keep], minlength=n).astype(np.int64)
 
 
 def sym_norm_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,

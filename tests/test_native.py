@@ -104,3 +104,32 @@ def test_coalesce_counts(tier):
     np.testing.assert_array_equal(out_r[:2], [0, 2])
     np.testing.assert_array_equal(out_c[:2], [3, 1])
     np.testing.assert_allclose(out_w[:2], [5.0, 5.0])
+
+
+def test_edge_degree_accumulate_matches_add_at():
+    rng = np.random.default_rng(0)
+    n, e = 500, 4000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    deg = np.zeros(n, np.int64)
+    native.edge_degree_accumulate(src, dst, deg)
+    ref = np.zeros(n, np.int64)
+    keep = src != dst
+    np.add.at(ref, src[keep], 1)
+    np.add.at(ref, dst[keep], 1)
+    np.testing.assert_array_equal(deg, ref)
+
+
+def test_edge_degree_accumulate_numpy_fallback(monkeypatch):
+    monkeypatch.setattr(native, "load_library", lambda: None)
+    rng = np.random.default_rng(1)
+    n, e = 300, 2000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    deg = np.zeros(n, np.int64)
+    native.edge_degree_accumulate(src, dst, deg)
+    ref = np.zeros(n, np.int64)
+    keep = src != dst
+    np.add.at(ref, src[keep], 1)
+    np.add.at(ref, dst[keep], 1)
+    np.testing.assert_array_equal(deg, ref)
