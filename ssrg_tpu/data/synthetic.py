@@ -91,12 +91,21 @@ def sbm_graph(
     p_out: float = 0.002,
     feature_signal: float = 1.0,
     seed: int = 0,
+    feature_mode: str = "gaussian",
+    words_per_node: int = 12,
 ) -> Graph:
-    """Stochastic-block-model graph with class-correlated Gaussian features.
+    """Stochastic-block-model graph with class-correlated features.
 
     A homophilous community graph on which spectral precompute models (SGC and
     friends) should reach high accuracy — the hermetic stand-in for cora in
     accuracy-band tests.
+
+    ``feature_mode``:
+    - ``gaussian`` — dense class-mean + unit noise (default).
+    - ``binary``  — sparse bag-of-words: each node activates
+      ``words_per_node`` features drawn from a class topic distribution
+      (cora-like; the regime where feature masking destroys signal and the
+      learned repair pipeline has something to recover).
     """
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=num_node)
@@ -113,9 +122,35 @@ def sbm_graph(
     accept = np.where(same, u < p_in / p_max, u < p_out / p_max)
     accept &= r != c
     rows, cols = r[accept], c[accept]
-    # class-mean features + noise
-    means = rng.normal(scale=feature_signal, size=(num_classes, num_features))
-    x = means[y] + rng.normal(size=(num_node, num_features))
+    if feature_mode == "binary":
+        # class topic distributions: each class prefers a subset of "words";
+        # feature_signal in [0, 1] controls topic purity (1 = fully
+        # class-specific vocabulary, 0 = uniform)
+        purity = float(np.clip(feature_signal, 0.0, 1.0))
+        topic = np.full((num_classes, num_features), (1.0 - purity))
+        per_class = max(num_features // num_classes, 1)
+        for k in range(num_classes):
+            lo = (k * per_class) % num_features
+            topic[k, lo : lo + per_class] += purity * num_classes
+        topic /= topic.sum(axis=1, keepdims=True)
+        x = np.zeros((num_node, num_features))
+        for k in range(num_classes):
+            nodes_k = np.where(y == k)[0]
+            if nodes_k.size == 0:
+                continue
+            draws = rng.choice(
+                num_features, size=(nodes_k.size, words_per_node),
+                p=topic[k],
+            )
+            x[nodes_k[:, None], draws] = 1.0
+    elif feature_mode == "gaussian":
+        # class-mean features + noise
+        means = rng.normal(
+            scale=feature_signal, size=(num_classes, num_features)
+        )
+        x = means[y] + rng.normal(size=(num_node, num_features))
+    else:
+        raise ValueError(f"unknown feature_mode {feature_mode!r}")
     w = np.ones(rows.shape, np.float32)
     return Graph(rows, cols, w, num_node, "UUU", x=x.astype(np.float32), y=y)
 

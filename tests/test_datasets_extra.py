@@ -75,3 +75,20 @@ def test_download_to_raises_clear_error_offline(tmp_path):
     with pytest.raises(RuntimeError, match="no network egress"):
         download_to("http://127.0.0.1:9/none", str(target))
     assert target.parent.is_dir()  # directory creation happened first
+
+
+def test_sbm_binary_feature_mode():
+    from ssrg_tpu.data.synthetic import sbm_graph
+
+    g = sbm_graph(400, 4, 64, seed=0, feature_mode="binary",
+                  words_per_node=10, feature_signal=0.8)
+    x = g.x
+    assert set(np.unique(x)) <= {0.0, 1.0}
+    # ~10 active words per node (duplicate draws collapse)
+    per_node = x.sum(axis=1)
+    assert 5 <= per_node.mean() <= 10
+    # class-correlated vocabulary: same-class cosine similarity higher
+    sims = x @ x.T
+    same = g.y[:, None] == g.y[None, :]
+    off_diag = ~np.eye(400, dtype=bool)
+    assert sims[same & off_diag].mean() > 2 * sims[~same].mean()
