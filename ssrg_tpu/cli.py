@@ -44,6 +44,12 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scan_epochs", action="store_true",
                    help="run all epochs inside one jitted lax.scan "
                         "(single dispatch; full-batch, BN-free runs)")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="save best-val params here (ssrg-tpu predict reads it)")
+    p.add_argument("--resume_from", default=None,
+                   help="warm-start params from a checkpoint")
+    p.add_argument("--cache_dir", default=None,
+                   help="disk cache for propagated hop features")
 
 
 def _add_data_flags(p: argparse.ArgumentParser) -> None:
@@ -94,6 +100,9 @@ def cmd_train(args) -> int:
         eval_batch_size=args.eval_batch_size,
         spmm_engine=args.spmm_engine,
         scan_epochs=args.scan_epochs,
+        checkpoint_path=args.checkpoint_path,
+        resume_from=args.resume_from,
+        cache_dir=args.cache_dir,
     )
     spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
     task = NodeClassification(
@@ -218,6 +227,42 @@ def cmd_gwnn(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Checkpoint-backed inference (ssrg_tpu/serve.py)."""
+    import numpy as np
+
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.serve import Predictor
+
+    dataset = _load_dataset(args)
+    model_cfg = ModelConfig(
+        model_name=args.model_name, num_layers=args.num_layers,
+        dropout=args.dropout, hidden_dim=args.hidden_dim,
+        prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
+        message_alpha=args.message_alpha, q=args.q,
+    )
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    pred = Predictor(
+        dataset, spec, model_cfg,
+        TrainingConfig(spmm_engine=args.spmm_engine),
+        checkpoint_path=args.checkpoint,
+    )
+    node_ids = (
+        np.asarray([int(t) for t in args.nodes.split(",")])
+        if args.nodes else np.asarray(dataset.test_idx)
+    )
+    labels = pred.predict(node_ids)
+    if args.out:
+        np.save(args.out, labels)
+        print(f"wrote {labels.shape[0]} predictions to {args.out}")
+    else:
+        print(labels.tolist())
+    if pred.metadata:
+        print(f"checkpoint metadata: {pred.metadata}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from ssrg_tpu.bench import run_bench
 
@@ -318,6 +363,20 @@ def main(argv=None) -> int:
     p_gwnn.add_argument("--synthetic_features", type=int, default=32)
     p_gwnn.add_argument("--verbose", action="store_true")
     p_gwnn.set_defaults(fn=cmd_gwnn)
+
+    p_pred = sub.add_parser(
+        "predict", help="checkpoint-backed inference (serve.py)"
+    )
+    _add_model_flags(p_pred)
+    _add_data_flags(p_pred)
+    p_pred.add_argument("--checkpoint", required=True,
+                        help="params file written by train --checkpoint_path")
+    p_pred.add_argument("--nodes", default=None,
+                        help="comma-separated node ids (default: test split)")
+    p_pred.add_argument("--out", default=None, help="write labels to .npy")
+    p_pred.add_argument("--seed", type=int, default=2023)
+    p_pred.add_argument("--spmm_engine", default="auto")
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_bench = sub.add_parser("bench", help="K-hop SpMM precompute benchmark")
     p_bench.add_argument("--nodes", type=int, default=169_343)

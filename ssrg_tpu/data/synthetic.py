@@ -177,6 +177,12 @@ def planetoid_like(
     train = np.sort(np.asarray(train))
     rest = np.setdiff1d(np.arange(num_node), train)
     rest = rng.permutation(rest)
+    if num_val + num_test > rest.shape[0]:
+        # small graphs: scale the splits down proportionally rather than
+        # silently producing an empty test set
+        scale = rest.shape[0] / (num_val + num_test)
+        num_val = max(int(num_val * scale), 1)
+        num_test = max(rest.shape[0] - num_val, 1)
     val = np.sort(rest[:num_val])
     test = np.sort(rest[num_val : num_val + num_test])
     return InMemoryDataset(g, train, val, test, name=f"sbm_{num_node}")
