@@ -46,8 +46,6 @@ def main():
                     default=[0.5, 0.7, 0.9])
     args = ap.parse_args()
 
-    import numpy as np
-
     from ssrg_tpu.configs.config import DataAugmentConfig
     from ssrg_tpu.data.synthetic import planetoid_like
     from ssrg_tpu.data.sparsity import load_homo_simplex_sparsity_dataset

@@ -131,6 +131,15 @@ def cmd_baseline(args) -> int:
     from ssrg_tpu.train.baseline_task import BaselineTask
 
     dataset = _load_dataset(args)
+    unsupported = [
+        name for name in ("train_batch_size", "eval_batch_size",
+                          "scan_epochs", "checkpoint_path", "resume_from",
+                          "cache_dir")
+        if getattr(args, name, None)
+    ]
+    if unsupported:
+        print(f"note: the baseline task ignores {', '.join(unsupported)} "
+              f"(use --cluster_parts for minibatching)")
     cfg = TrainingConfig(
         seed=args.seed, num_epochs=args.num_epochs, lr=args.lr,
         weight_decay=args.weight_decay, spmm_engine=args.spmm_engine,
@@ -170,7 +179,16 @@ def cmd_link(args) -> int:
         seed=args.seed, normalize_times=args.normalize_times,
         num_epochs=args.num_epochs, lr=args.lr,
         weight_decay=args.weight_decay, spmm_engine=args.spmm_engine,
+        train_batch_size=args.train_batch_size,
+        eval_batch_size=args.eval_batch_size,
+        scan_epochs=args.scan_epochs,
+        checkpoint_path=args.checkpoint_path,
+        resume_from=args.resume_from,
+        cache_dir=args.cache_dir,
     )
+    if args.checkpoint_path or args.resume_from:
+        print("note: the link task does not checkpoint/resume yet; "
+              "--checkpoint_path/--resume_from are ignored")
     spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
     task = LinkClassification(
         dataset, spec, model_cfg, train_cfg, verbose=args.verbose
@@ -210,13 +228,18 @@ def cmd_gwnn(args) -> int:
         learning_rate=args.lr, weight_decay=args.weight_decay,
         test_size=args.test_size, seed=args.seed,
     )
+    # the GWNN path builds device adjacencies directly: meta-engines that
+    # need the precompute pipeline resolve to auto here
+    engine = args.spmm_engine
+    if engine in ("autotune", "reorder_banded"):
+        engine = "auto"
     sparsifier = WaveletSparsifier(
         adj, cfg.scale, cfg.approximation_order, cfg.tolerance,
-        engine=args.spmm_engine,
+        engine=engine,
     )
     sparsifier.calculate_all_wavelets(verbose=args.verbose)
     trainer = GWNNTrainer(
-        cfg, sparsifier, features, targets, engine=args.spmm_engine
+        cfg, sparsifier, features, targets, engine=engine
     )
     trainer.fit(verbose=args.verbose)
     acc = trainer.score()

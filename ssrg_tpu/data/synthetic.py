@@ -180,9 +180,14 @@ def planetoid_like(
     if num_val + num_test > rest.shape[0]:
         # small graphs: scale the splits down proportionally rather than
         # silently producing an empty test set
+        if rest.shape[0] < 2:
+            raise ValueError(
+                f"only {rest.shape[0]} nodes left after the train split; "
+                f"cannot form non-empty val and test sets"
+            )
         scale = rest.shape[0] / (num_val + num_test)
-        num_val = max(int(num_val * scale), 1)
-        num_test = max(rest.shape[0] - num_val, 1)
+        num_val = min(max(int(num_val * scale), 1), rest.shape[0] - 1)
+        num_test = rest.shape[0] - num_val
     val = np.sort(rest[:num_val])
     test = np.sort(rest[num_val : num_val + num_test])
     return InMemoryDataset(g, train, val, test, name=f"sbm_{num_node}")

@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -201,9 +203,7 @@ class GWNNTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        from functools import partial as _partial
-
-        step = _partial(
+        step = partial(
             step, self.x, self.phi, self.phi_inv, self.y,
             jnp.asarray(self.train_idx),
         )

@@ -36,8 +36,9 @@ _load_attempted = False
 
 
 def _try_build() -> None:
-    if osp.exists(_SO_PATH):
-        return
+    # always invoke make: it is a no-op when the .so is newer than the
+    # source, and it rebuilds a STALE .so (one missing newly-added symbols,
+    # which would otherwise raise AttributeError during binding below)
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR],
@@ -88,7 +89,9 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.edge_degree_accumulate.restype = None
         lib.omp_max_threads.restype = ctypes.c_int
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError = stale .so missing a newly-added symbol and the
+        # rebuild failed (no toolchain): fall back to numpy paths
         _lib = None
     return _lib
 

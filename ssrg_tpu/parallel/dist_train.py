@@ -124,8 +124,6 @@ def build_spmd_context(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    from functools import partial as _partial
-
     return SPMDTrainContext(
         mesh=mesh,
         adj=sharded_adj,
@@ -134,7 +132,7 @@ def build_spmd_context(
         train_mask=mask_dev,
         params=params,
         opt_state=opt_state,
-        step_fn=_partial(step_fn, sharded_adj),
+        step_fn=partial(step_fn, sharded_adj),
     )
 
 

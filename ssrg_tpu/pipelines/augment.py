@@ -23,6 +23,8 @@ from __future__ import annotations
 import os.path as osp
 from typing import Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,10 +106,8 @@ def feature_augment(
         pred = jnp.argmax(logits[test_idx], axis=1)
         return jnp.mean((pred == y[test_idx]).astype(jnp.float32))
 
-    from functools import partial as _partial
-
-    train_step = _partial(train_step, x_clean, x_sparse, y, train_idx)
-    test_acc = _partial(test_acc, x_sparse, y, test_idx)
+    train_step = partial(train_step, x_clean, x_sparse, y, train_idx)
+    test_acc = partial(test_acc, x_sparse, y, test_idx)
 
     best_acc, best_params = -1.0, params
     for epoch in range(cfg.epochs):

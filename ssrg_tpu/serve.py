@@ -65,12 +65,27 @@ class Predictor:
             **init_kwargs,
         )
         params = variables["params"]
+        batch_stats = variables.get("batch_stats")
         self.metadata = None
         if checkpoint_path:
-            params = load_params(params, checkpoint_path)
             self.metadata = load_metadata(checkpoint_path)
+            if (self.metadata or {}).get("has_bn"):
+                restored = load_params(
+                    {"params": params, "batch_stats": batch_stats},
+                    checkpoint_path,
+                )
+                params = restored["params"]
+                batch_stats = restored["batch_stats"]
+            else:
+                if batch_stats is not None:
+                    raise ValueError(
+                        "model has BatchNorm but the checkpoint stores "
+                        "params only (pre-batch_stats format); retrain with "
+                        "checkpoint_path to produce a BN-aware checkpoint"
+                    )
+                params = load_params(params, checkpoint_path)
         self.params = params
-        self._batch_stats = variables.get("batch_stats")
+        self._batch_stats = batch_stats
 
         module = p.module
         has_bn = self._batch_stats is not None
@@ -85,23 +100,25 @@ class Predictor:
 
         self._forward = partial(forward, p.adj_device)
 
-    def _inputs_for(self, idx):
+    def logits(self, node_ids) -> np.ndarray:
+        from ssrg_tpu.train.node_classification import slice_inputs
+
+        ids = np.asarray(node_ids).reshape(-1)
+        n = ids.shape[0]
         p = self.prepared
         if p.adj_device is not None:  # full-graph models (GCN / spectral)
-            return p.inputs
-        if isinstance(p.inputs, tuple):
-            return tuple(part[idx] for part in p.inputs)
-        if p.hops_layout:
-            return p.inputs[:, idx]
-        return p.inputs[idx]
-
-    def logits(self, node_ids) -> np.ndarray:
-        idx = jnp.asarray(np.asarray(node_ids))
+            out = self._forward(self.params, self._batch_stats, p.inputs)
+            return np.asarray(out[jnp.asarray(ids)])
+        # pad the batch to the next power of two so varying request sizes
+        # reuse a small set of compiled shapes (each new shape would
+        # otherwise recompile the serving function)
+        n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 3)
+        ids_pad = np.zeros(n_pad, ids.dtype)
+        ids_pad[:n] = ids
+        idx = jnp.asarray(ids_pad)
         out = self._forward(self.params, self._batch_stats,
-                            self._inputs_for(idx))
-        if self.prepared.adj_device is not None:
-            out = out[idx]
-        return np.asarray(out)
+                            slice_inputs(p, idx))
+        return np.asarray(out)[:n]
 
     def predict_proba(self, node_ids) -> np.ndarray:
         return np.asarray(jax.nn.softmax(self.logits(node_ids), axis=-1))

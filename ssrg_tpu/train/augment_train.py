@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,10 +89,8 @@ class TrainModel:
                 logits,
             )
 
-        from functools import partial as _partial
-
-        train_step = _partial(train_step, self.x, self.y, self.train_idx)
-        eval_step = _partial(
+        train_step = partial(train_step, self.x, self.y, self.train_idx)
+        eval_step = partial(
             eval_step, self.x, self.y, self.val_idx, self.test_idx
         )
 

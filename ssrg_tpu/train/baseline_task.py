@@ -20,6 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -275,12 +277,10 @@ class BaselineTask:
                 for k in ("train", "val", "test")
             )
 
-        from functools import partial as _partial
-
-        train_step = _partial(
+        train_step = partial(
             train_step, self.inputs, self.adj_op, self.labels, self.idx
         )
-        eval_step = _partial(
+        eval_step = partial(
             eval_step, self.inputs, self.adj_op, self.labels, self.idx
         )
 

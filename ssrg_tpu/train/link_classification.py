@@ -136,11 +136,9 @@ class LinkClassification:
             )
             return accuracy(logits, labels)
 
-        from functools import partial as _partial
-
         train_step_raw, eval_step_raw = train_step, eval_step
-        train_step = _partial(train_step, p.inputs, p.adj_device)
-        eval_step = _partial(eval_step, p.inputs, p.adj_device)
+        train_step = partial(train_step, p.inputs, p.adj_device)
+        eval_step = partial(eval_step, p.inputs, p.adj_device)
 
         best_val = best_test = 0.0
         minibatch = cfg.train_batch_size is not None
@@ -176,12 +174,15 @@ class LinkClassification:
 
                 self._scan_runner = run
 
-            (state, bv, bt), _ = self._scan_runner(
+            (state, bv, bt), losses = self._scan_runner(
                 p.inputs, p.adj_device, state, tr_pairs, tr_labels,
                 va_pairs, va_labels, te_pairs, te_labels, rng,
                 cfg.num_epochs,
             )
             best_val, best_test = float(bv), float(bt)
+            if self.verbose:
+                for epoch, loss in enumerate(np.asarray(losses)):
+                    print(f"Epoch {epoch + 1:03d} loss {float(loss):.4f}")
             self.record["val_acc"].append(best_val)
             self.record["test_acc"].append(best_test)
             self.state = state

@@ -74,12 +74,15 @@ def prepare(
         from ssrg_tpu.ops.autotune import autotune_engine
 
         engine, _ = autotune_engine(dataset.adj, x.shape[1])
+    # reorder_banded applies to the hop-precompute path only (the reorder is
+    # undone on the hop stack); naive/spectral/tuple paths fall back to auto
+    basic_engine = "auto" if engine == "reorder_banded" else engine
 
     if spec.spectral:
         from ssrg_tpu.models.wavelet import prepare_spectral
 
         phi, phi_inv = prepare_spectral(
-            dataset.adj, model_cfg.wavelet, engine=engine
+            dataset.adj, model_cfg.wavelet, engine=basic_engine
         )
         module = spec.module
         return Prepared(module, x, False, adj_device=(phi, phi_inv),
@@ -87,7 +90,7 @@ def prepare(
 
     if spec.naive:
         adj_norm = spec.construct_adj(dataset.adj, model_cfg)
-        adj_dev = device_adjacency(adj_norm, engine)
+        adj_dev = device_adjacency(adj_norm, basic_engine)
         return Prepared(spec.module, x, False, adj_device=adj_dev,
                         preprocess_seconds=time.time() - t0)
 
@@ -97,7 +100,7 @@ def prepare(
 
     adj_norm = spec.construct_adj(dataset.adj, model_cfg)
     if isinstance(adj_norm, tuple):
-        devs = tuple(device_adjacency(a, engine) for a in adj_norm)
+        devs = tuple(device_adjacency(a, basic_engine) for a in adj_norm)
         if spec.graph_op in ("magnetic", "magnetic_ppr"):
             # complex propagation; "last" aggregate over the (re, im) pair
             from ssrg_tpu.ops.propagate import propagate_complex
@@ -171,6 +174,19 @@ def prepare(
                     preprocess_seconds=time.time() - t0)
 
 
+def slice_inputs(prepared: "Prepared", idx):
+    """Select the rows of a ``Prepared.inputs`` payload for node ids ``idx``,
+    handling the three layouts: complex (re, im) tuple, hop stack
+    ``[K+1, N, F]``, and aggregated ``[N, D]``. Shared by the training task
+    and the serving Predictor."""
+    inp = prepared.inputs
+    if isinstance(inp, tuple):  # complex (re, im) pair
+        return tuple(part[idx] for part in inp)
+    if prepared.hops_layout:
+        return inp[:, idx]
+    return inp[idx]
+
+
 def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
     """Build jitted train/eval steps. ``idx`` (when not None) selects logits
     after a full-graph forward (naive GCN / spectral); otherwise inputs are
@@ -228,14 +244,12 @@ def _make_step_fns(module: PrecomputeModel, adj_device, has_bn: bool):
             logits = logits[idx]
         return accuracy(logits, labels), logits
 
-    from functools import partial as _partial
-
     # raw fns (adjacency as explicit first arg) are also returned so callers
     # composing larger jitted programs (the epoch-scan trainer) can pass the
     # adjacency through their own argument list instead of re-capturing it
     return (
-        _partial(train_step, adj_device),
-        _partial(eval_step, adj_device),
+        partial(train_step, adj_device),
+        partial(eval_step, adj_device),
         train_step,
         eval_step,
     )
@@ -298,12 +312,7 @@ class NodeClassification:
     # -- internals ---------------------------------------------------------
 
     def _slice_inputs(self, idx):
-        inp = self.prepared.inputs
-        if isinstance(inp, tuple):  # complex (re, im) pair
-            return tuple(part[idx] for part in inp)
-        if self.prepared.hops_layout:
-            return inp[:, idx]
-        return inp[idx]
+        return slice_inputs(self.prepared, idx)
 
     def _batched_eval(self, state, eval_step, idx, batch_size) -> float:
         """Memory-bounded evaluation: static-shape batches with padded tail
@@ -340,11 +349,23 @@ class NodeClassification:
             p.module, init_rng, init_inputs, cfg.lr, cfg.weight_decay, **init_kwargs
         )
         if cfg.resume_from:
-            from ssrg_tpu.cache import load_params
+            from ssrg_tpu.cache import load_metadata, load_params
 
-            state = state.replace(
-                params=load_params(state.params, cfg.resume_from)
-            )
+            meta = load_metadata(cfg.resume_from) or {}
+            if meta.get("has_bn"):
+                restored = load_params(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    cfg.resume_from,
+                )
+                state = state.replace(
+                    params=restored["params"],
+                    batch_stats=restored["batch_stats"],
+                )
+            else:
+                state = state.replace(
+                    params=load_params(state.params, cfg.resume_from)
+                )
         has_bn = state.batch_stats is not None
         # build the jitted step fns ONCE per task: rebuilding them each
         # execute() would retrace/recompile on every normalize_times run
@@ -401,6 +422,7 @@ class NodeClassification:
                     metadata={
                         "epoch": best_epoch + 1, "val_acc": best_val,
                         "test_acc": best_test, "model": self.spec.name,
+                        "has_bn": False,  # scan path requires BN-free models
                     },
                 )
             if self.post_graph_op is not None:
@@ -454,11 +476,18 @@ class NodeClassification:
                 if cfg.checkpoint_path:
                     from ssrg_tpu.cache import save_params
 
+                    # BN models must checkpoint their running statistics too
+                    payload = (
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats}
+                        if has_bn else state.params
+                    )
                     save_params(
-                        state.params, cfg.checkpoint_path,
+                        payload, cfg.checkpoint_path,
                         metadata={
                             "epoch": epoch + 1, "val_acc": best_val,
                             "test_acc": best_test, "model": self.spec.name,
+                            "has_bn": has_bn,
                         },
                     )
 

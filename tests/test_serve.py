@@ -72,3 +72,34 @@ def test_cli_train_then_predict(tmp_path, capsys):
     assert rc == 0
     labels = np.load(out)
     assert labels.ndim == 1 and labels.shape[0] > 0
+
+
+def test_predictor_bn_checkpoint_roundtrip(dataset, tmp_path):
+    """BatchNorm checkpoints include batch_stats; Predictor restores both."""
+    ckpt = str(tmp_path / "bn.ckpt")
+    mc = ModelConfig(model_name="gamlp", prop_steps=3, hidden_dim=32,
+                     num_layers=2, use_bn=True)
+    tc = TrainingConfig(num_epochs=60, lr=0.05, checkpoint_path=ckpt)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+
+    from ssrg_tpu.cache import load_metadata
+
+    assert load_metadata(ckpt)["has_bn"] is True
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    pred = Predictor(dataset, spec, mc, tc, checkpoint_path=ckpt)
+    labels = pred.predict(dataset.test_idx)
+    acc = float(np.mean(labels == np.asarray(dataset.y)[dataset.test_idx]))
+    assert acc >= task.best_test - 0.05
+
+
+def test_predictor_batch_padding_stable(dataset, tmp_path):
+    """Varying batch sizes map to pow2-padded shapes with exact results."""
+    ckpt = str(tmp_path / "pad.ckpt")
+    mc, tc, task = _train(dataset, "sgc", ckpt)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    pred = Predictor(dataset, spec, mc, tc, checkpoint_path=ckpt)
+    full = pred.predict(dataset.test_idx)
+    for size in (1, 3, 7, 20):
+        sub = pred.predict(dataset.test_idx[:size])
+        np.testing.assert_array_equal(sub, full[:size])
