@@ -94,3 +94,33 @@ def test_shard_feature_block(staged, tmp_path):
     hi = n - 3 * meta.block
     np.testing.assert_allclose(last[:hi], x[3 * meta.block:])
     np.testing.assert_allclose(last[hi:], 0.0)
+
+
+def test_streamed_partition_feeds_device_dist_propagate(staged, tmp_path):
+    """Full out-of-core chain on DEVICE: stream_partition spools ->
+    shard_adjacency over a 4-device mesh -> dist_propagate == scipy."""
+    import jax
+
+    from ssrg_tpu.parallel.dist_spmm import dist_propagate, shard_adjacency, shard_features
+    from ssrg_tpu.parallel.mesh import make_mesh
+
+    edges_path, feat_path, edges, x, n = staged
+    meta = stream_partition(
+        edges_path, n, 4, str(tmp_path / "spool3"), chunk_edges=128
+    )
+    part = assemble_row_partition(meta)
+    mesh = make_mesh((4,), ("graph",), jax.devices()[:4])
+    adj_dev = shard_adjacency(part, mesh)
+    xs = shard_features(x, part, mesh)
+    hops = np.asarray(dist_propagate(adj_dev, xs, 2))
+
+    adj = sp.csr_matrix(
+        (np.ones(edges.shape[1]), (edges[0], edges[1])), shape=(n, n)
+    )
+    adj = ((adj + adj.T) > 0).astype(np.float64)
+    norm = sym_norm(adj, 0.5)
+    direct = [x]
+    for _ in range(2):
+        direct.append((norm @ direct[-1]).astype(np.float32))
+    for i in range(3):
+        np.testing.assert_allclose(hops[i][:n], direct[i], rtol=2e-4, atol=2e-4)
