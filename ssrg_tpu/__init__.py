@@ -47,3 +47,10 @@ def load_model(*args, **kwargs):
     from ssrg_tpu.models.zoo import load_model as _lm
 
     return _lm(*args, **kwargs)
+
+
+def Predictor(*args, **kwargs):
+    """Convenience re-export of :class:`ssrg_tpu.serve.Predictor`."""
+    from ssrg_tpu.serve import Predictor as _P
+
+    return _P(*args, **kwargs)
