@@ -1,0 +1,149 @@
+"""Out-of-core K-hop propagation on a single device.
+
+Completes the papers100M ladder for hosts/devices that cannot hold X or the
+adjacency in memory (SURVEY.md §7 hard parts; docs/SCALING.md): features
+live on disk as per-block ``.npy`` files, the adjacency as the streaming
+partitioner's per-destination-block spools (``data/streaming.py``), and
+propagation proceeds block-at-a-time — the device holds ONE source feature
+block, ONE output accumulator block, and one edge bucket at any moment
+(O(block·F + bucket) device memory, independent of N).
+
+Algorithm per hop: for each destination block i, re-bucket its spooled
+edges by source block j (host-side, one sort per block), then accumulate
+``out_i += A[i,j] @ X_j`` with a jitted gather+segment-sum over pow2-padded
+edge buckets (bounded compile-shape count). Hop h's blocks are written to
+``<work_dir>/hop<h>/block<i>.npy`` before hop h+1 starts.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from functools import partial
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ssrg_tpu.data.streaming import StreamingGraphMeta, load_shard
+
+
+def _pow2_pad(n: int, floor: int = 1 << 12) -> int:
+    p = floor
+    while p < n:
+        p <<= 1
+    return p
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _block_spmm(rows, cols_local, vals, x_block, acc, block):
+    """acc += segment_sum(x_block[cols_local] * vals, rows). Padded entries
+    carry val == 0 (any valid index)."""
+    gathered = x_block[cols_local] * vals[:, None]
+    return acc + jax.ops.segment_sum(gathered, rows, num_segments=block)
+
+
+def stage_feature_blocks(
+    features_path: str, meta: StreamingGraphMeta, work_dir: str
+) -> str:
+    """Split the memory-mapped feature matrix into per-block hop-0 files."""
+    import numpy as np
+
+    hop0 = osp.join(work_dir, "hop0")
+    os.makedirs(hop0, exist_ok=True)
+    x = np.load(features_path, mmap_mode="r")
+    f = x.shape[1]
+    for i in range(meta.num_shards):
+        lo = i * meta.block
+        hi = min(lo + meta.block, meta.num_nodes)
+        blk = np.zeros((meta.block, f), np.float32)
+        if lo < meta.num_nodes:
+            blk[: hi - lo] = np.asarray(x[lo:hi], np.float32)
+        np.save(osp.join(hop0, f"block{i}.npy"), blk)
+    return hop0
+
+
+def outofcore_propagate(
+    meta: StreamingGraphMeta,
+    features_path: str,
+    prop_steps: int,
+    work_dir: str,
+    verbose: bool = False,
+) -> List[str]:
+    """Run K hops block-at-a-time; returns the list of per-hop directories
+    (``hop0`` … ``hop<K>``), each holding ``num_shards`` block files.
+
+    Device memory high-water mark: one [block, F] source block, one
+    [block, F] accumulator, one padded edge bucket — independent of N.
+    """
+    import jax.numpy as jnp
+
+    stage_feature_blocks(features_path, meta, work_dir)
+    hop_dirs = [osp.join(work_dir, "hop0")]
+    s = meta.num_shards
+    block = meta.block
+
+    # host-side one-time: re-bucket each destination shard's edges by source
+    # block; store (rows, local cols, vals, bucket offsets)
+    buckets = []
+    for i in range(s):
+        r, c, v = load_shard(meta, i)
+        src_blk = c // block
+        order = np.argsort(src_blk, kind="stable")
+        r, c, v, src_blk = r[order], c[order], v[order], src_blk[order]
+        offsets = np.searchsorted(src_blk, np.arange(s + 1))
+        buckets.append((r, (c - src_blk * block).astype(np.int32), v, offsets))
+
+    f_dim = int(
+        np.load(osp.join(hop_dirs[0], "block0.npy"), mmap_mode="r").shape[1]
+    )
+    for h in range(prop_steps):
+        prev_dir = hop_dirs[-1]
+        cur_dir = osp.join(work_dir, f"hop{h + 1}")
+        os.makedirs(cur_dir, exist_ok=True)
+        # destination-major: ONE accumulator + ONE source block on device at
+        # a time (the O(block·F) memory bound); source blocks are re-read
+        # from disk per destination — the disk-for-memory trade that defines
+        # out-of-core operation
+        for i in range(s):
+            r, c_local, v, offsets = buckets[i]
+            acc = jnp.zeros((block, f_dim), jnp.float32)
+            for j in range(s):
+                lo, hi = int(offsets[j]), int(offsets[j + 1])
+                if hi == lo:
+                    continue
+                xj = jnp.asarray(np.load(osp.join(prev_dir, f"block{j}.npy")))
+                n_pad = _pow2_pad(hi - lo)
+                rows = np.zeros(n_pad, np.int32)
+                cols = np.zeros(n_pad, np.int32)
+                vals = np.zeros(n_pad, np.float32)
+                rows[: hi - lo] = r[lo:hi]
+                cols[: hi - lo] = c_local[lo:hi]
+                vals[: hi - lo] = v[lo:hi]
+                acc = _block_spmm(
+                    jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                    xj, acc, block,
+                )
+            np.save(osp.join(cur_dir, f"block{i}.npy"), np.asarray(acc))
+        if verbose:
+            print(f"out-of-core hop {h + 1}/{prop_steps} done")
+        hop_dirs.append(cur_dir)
+    return hop_dirs
+
+
+def load_hop_rows(
+    hop_dir: str, meta: StreamingGraphMeta, node_ids: np.ndarray
+) -> np.ndarray:
+    """Gather specific node rows from a per-block hop directory (memory-
+    mapped; for feeding training batches without assembling the full hop)."""
+    node_ids = np.asarray(node_ids)
+    out = None
+    blocks = node_ids // meta.block
+    for b in np.unique(blocks):
+        blk = np.load(osp.join(hop_dir, f"block{int(b)}.npy"), mmap_mode="r")
+        m = blocks == b
+        rows = np.asarray(blk[node_ids[m] - b * meta.block])
+        if out is None:
+            out = np.zeros((node_ids.shape[0], rows.shape[1]), np.float32)
+        out[m] = rows
+    return out

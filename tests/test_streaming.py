@@ -124,3 +124,34 @@ def test_streamed_partition_feeds_device_dist_propagate(staged, tmp_path):
         direct.append((norm @ direct[-1]).astype(np.float32))
     for i in range(3):
         np.testing.assert_allclose(hops[i][:n], direct[i], rtol=2e-4, atol=2e-4)
+
+
+def test_outofcore_propagate_matches_scipy(staged, tmp_path):
+    """Block-at-a-time disk propagation == scipy, and hop-row gathers work."""
+    from ssrg_tpu.parallel.outofcore import load_hop_rows, outofcore_propagate
+
+    edges_path, feat_path, edges, x, n = staged
+    meta = stream_partition(
+        edges_path, n, 4, str(tmp_path / "spool_ooc"), chunk_edges=128
+    )
+    hop_dirs = outofcore_propagate(
+        meta, feat_path, 3, str(tmp_path / "ooc_work")
+    )
+    assert len(hop_dirs) == 4
+
+    adj = sp.csr_matrix(
+        (np.ones(edges.shape[1]), (edges[0], edges[1])), shape=(n, n)
+    )
+    adj = ((adj + adj.T) > 0).astype(np.float64)
+    norm = sym_norm(adj, 0.5)
+    expected = x
+    for h, d in enumerate(hop_dirs):
+        got = load_hop_rows(d, meta, np.arange(n))
+        np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-4)
+        expected = (norm @ expected).astype(np.float32)
+
+    # random-batch gather (training feed path)
+    ids = np.asarray([0, 5, n - 1, 42, n // 2])
+    got = load_hop_rows(hop_dirs[2], meta, ids)
+    full = load_hop_rows(hop_dirs[2], meta, np.arange(n))
+    np.testing.assert_allclose(got, full[ids])
