@@ -286,6 +286,25 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_autotune(args) -> int:
+    """Per-graph SpMM engine diagnosis (ops/autotune.py)."""
+    import json
+
+    from ssrg_tpu.ops.autotune import autotune_engine
+
+    dataset = _load_dataset(args)
+    best, timings = autotune_engine(
+        dataset.adj, args.features, reps=args.reps, verbose=True
+    )
+    print(json.dumps({
+        "best": best,
+        "ms_per_hop": {k: round(v * 1e3, 3) for k, v in timings.items()},
+        "num_nodes": int(dataset.adj.shape[0]),
+        "nnz": int(dataset.adj.nnz),
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from ssrg_tpu.bench import run_bench
 
@@ -400,6 +419,15 @@ def main(argv=None) -> int:
     p_pred.add_argument("--seed", type=int, default=2023)
     p_pred.add_argument("--spmm_engine", default="auto")
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_tune = sub.add_parser(
+        "autotune", help="measure every SpMM engine on a dataset's graph"
+    )
+    _add_data_flags(p_tune)
+    p_tune.add_argument("--features", type=int, default=128)
+    p_tune.add_argument("--reps", type=int, default=8)
+    p_tune.add_argument("--seed", type=int, default=2023)
+    p_tune.set_defaults(fn=cmd_autotune)
 
     p_bench = sub.add_parser("bench", help="K-hop SpMM precompute benchmark")
     p_bench.add_argument("--nodes", type=int, default=169_343)

@@ -74,3 +74,14 @@ def test_cli_sparsify_augment_train_roundtrip(tmp_path, capsys):
     ])
     assert rc == 0
     assert "Best val:" in capsys.readouterr().out
+
+
+def test_cli_autotune(capsys):
+    rc = main([
+        "autotune", "--synthetic", "--synthetic_nodes", "400",
+        "--synthetic_features", "32", "--features", "32", "--reps", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["best"] in payload["ms_per_hop"]

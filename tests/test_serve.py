@@ -103,3 +103,23 @@ def test_predictor_batch_padding_stable(dataset, tmp_path):
     for size in (1, 3, 7, 20):
         sub = pred.predict(dataset.test_idx[:size])
         np.testing.assert_array_equal(sub, full[:size])
+
+
+def test_predictor_rejects_legacy_bn_checkpoint(dataset, tmp_path):
+    """Params-only checkpoints (no has_bn metadata) must be refused for BN
+    models with a clear message instead of serving init batch_stats."""
+    from ssrg_tpu.cache import save_params
+
+    mc = ModelConfig(model_name="gamlp", prop_steps=3, hidden_dim=32,
+                     num_layers=2, use_bn=True)
+    tc = TrainingConfig(num_epochs=1)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    # fabricate a legacy params-only checkpoint
+    from ssrg_tpu.train.node_classification import NodeClassification
+
+    task = NodeClassification(dataset, spec, mc, tc)
+    ckpt = str(tmp_path / "legacy.ckpt")
+    save_params(task.state.params, ckpt, metadata={"model": "gamlp"})
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    with pytest.raises(ValueError, match="BatchNorm"):
+        Predictor(dataset, spec, mc, tc, checkpoint_path=ckpt)
