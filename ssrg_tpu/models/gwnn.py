@@ -173,7 +173,10 @@ class GWNNTrainer:
         self.train_idx = jnp.asarray(np.sort(perm[n_test:]))
         self.logs: List[Dict] = []
 
-    def fit(self, verbose: bool = False) -> None:
+    def fit(self, verbose: bool = False, scan: bool = False) -> None:
+        """Adam NLL fit loop (reference gwnn.py:151-176). With ``scan=True``
+        all epochs run inside one jitted ``lax.scan`` (single dispatch; the
+        per-epoch ``seconds`` log entries become the amortized mean)."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_rng = jax.random.split(rng)
@@ -207,6 +210,36 @@ class GWNNTrainer:
             step, self.x, self.phi, self.phi_inv, self.y,
             jnp.asarray(self.train_idx),
         )
+
+        if scan:
+            @partial(jax.jit, static_argnames=("epochs",))
+            def run_all(params, opt_state, rng0, epochs):
+                def epoch_fn(carry, i):
+                    params, opt_state = carry
+                    params, opt_state, loss = step(
+                        params, opt_state, jax.random.fold_in(rng0, i)
+                    )
+                    return (params, opt_state), loss
+
+                return jax.lax.scan(
+                    epoch_fn, (params, opt_state), jnp.arange(epochs),
+                    length=epochs,
+                )
+
+            t0 = time.time()
+            (params, opt_state), losses = run_all(
+                params, opt_state, rng, cfg.epochs
+            )
+            per_epoch = (time.time() - t0) / max(cfg.epochs, 1)
+            for epoch, loss in enumerate(np.asarray(losses)):
+                self.logs.append(
+                    {"epoch": epoch, "loss": float(loss),
+                     "seconds": per_epoch}
+                )
+                if verbose:
+                    print(f"epoch {epoch + 1}: nll {float(loss):.4f}")
+            self.params = params
+            return
 
         for epoch in range(cfg.epochs):
             t0 = time.time()

@@ -71,3 +71,18 @@ def test_gwnn_trainer_fit_score(tmp_path):
     assert all("seconds" in l for l in trainer.logs)
     acc = trainer.score()
     assert acc > 0.5, f"gwnn acc {acc:.3f}"
+
+
+def test_gwnn_scan_fit_matches_band():
+    from ssrg_tpu.models.gwnn import GWNNConfig, GWNNTrainer, WaveletSparsifier
+    from ssrg_tpu.data.synthetic import sbm_graph
+
+    g = sbm_graph(200, 3, 24, p_in=0.08, p_out=0.01, seed=5)
+    cfg = GWNNConfig(epochs=40, filters=8)
+    sp_ = WaveletSparsifier(g.adj, cfg.scale, cfg.approximation_order,
+                            cfg.tolerance)
+    sp_.calculate_all_wavelets()
+    tr = GWNNTrainer(cfg, sp_, g.x, g.y)
+    tr.fit(scan=True)
+    assert len(tr.logs) == 40
+    assert tr.score() > 0.7
