@@ -241,7 +241,7 @@ def cmd_gwnn(args) -> int:
     trainer = GWNNTrainer(
         cfg, sparsifier, features, targets, engine=engine
     )
-    trainer.fit(verbose=args.verbose)
+    trainer.fit(verbose=args.verbose, scan=args.scan_epochs)
     acc = trainer.score()
     print(f"Test accuracy: {acc:.4f}")
     if args.log_path:
@@ -400,6 +400,8 @@ def main(argv=None) -> int:
     p_gwnn.add_argument("--test_size", type=float, default=0.2)
     p_gwnn.add_argument("--seed", type=int, default=42)
     p_gwnn.add_argument("--spmm_engine", default="auto")
+    p_gwnn.add_argument("--scan_epochs", action="store_true",
+                        help="all epochs in one jitted lax.scan")
     p_gwnn.add_argument("--synthetic_nodes", type=int, default=600)
     p_gwnn.add_argument("--synthetic_classes", type=int, default=3)
     p_gwnn.add_argument("--synthetic_features", type=int, default=32)
