@@ -9,6 +9,11 @@ Subcommands:
 - ``train``     node classification on a dataset (reference SSRG/main.py)
 - ``sparsify``  graph sparsification pipeline (reference SSRG/data_process.py)
 - ``augment``   robust augmentation pipeline (reference SSRG/data_augument.py)
+- ``baseline``  message-passing baseline zoo (reference /main.py)
+- ``link``      link classification (reference tasks/link_classification.py)
+- ``gwnn``      standalone GWNN pipeline (reference wavelet/src/main.py)
+- ``predict``   checkpoint-backed inference (ssrg_tpu/serve.py)
+- ``autotune``  per-graph SpMM engine diagnosis
 - ``bench``     K-hop SpMM precompute benchmark
 """
 
