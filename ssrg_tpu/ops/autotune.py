@@ -44,7 +44,9 @@ def _time_engine(adj_dev: Adjacency, x: jnp.ndarray, reps: int) -> float:
 def autotune_engine(
     adj: sp.spmatrix,
     feature_dim: int,
-    candidates: Sequence[str] = ("dense", "coo", "ell", "hybrid", "banded"),
+    candidates: Sequence[str] = (
+        "dense", "coo", "ell", "hybrid", "banded", "tiled",
+    ),
     reps: int = 8,
     dense_limit: int = 16384,
     seed: int = 0,

@@ -277,7 +277,76 @@ class BandedAdj:
         return cls(*children, *aux)
 
 
-Adjacency = Union[DenseAdj, COOAdj, ELLAdj, HybridAdj, BandedAdj]
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TiledAdj:
+    """Tile-sparse dense-block adjacency (BSR-style): the general form of
+    :class:`BandedAdj` for clustered-but-not-banded graphs.
+
+    Edges are grouped into [row_block × tile_cols] dense tiles keyed by an
+    arbitrary column start per tile; tiles holding at least
+    ``min_edges_per_tile`` edges run as MXU matmuls against contiguous
+    ``dynamic_slice`` windows of X, and all remaining (scattered) edges
+    spill into a standard hybrid ELL+COO ``rest``. On community-structured
+    graphs (SBM/RCM-clustered real graphs) most edges land in dense tiles
+    and the hot loop becomes sequential HBM streams + MXU matmuls with no
+    gathers — the locality remedy for the large-table gather slowdown
+    measured at products scale (docs/PERFORMANCE.md).
+    """
+
+    tiles: jnp.ndarray   # [nb, T, row_block, tile_cols]  (f32 or bf16)
+    starts: jnp.ndarray  # int32 [nb, T] column start per tile (pad: 0, zeros)
+    rest: "HybridAdj"    # leftover scattered edges
+    n_rows: int
+    n_cols: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def tile_stats(self) -> Tuple[int, int, int]:
+        nb, t, rb, tc = self.tiles.shape
+        return nb, t, rb * tc
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        nb, t, rb, tc = self.tiles.shape
+        f = x.shape[1]
+        xp = x
+        if tc > x.shape[0]:  # tiny graph
+            xp = jnp.pad(x, ((0, tc - x.shape[0]), (0, 0)))
+
+        def block(carry, inputs):
+            tiles_b, starts_b = inputs  # [T, rb, tc], [T]
+
+            def tile_step(k, acc):
+                xw = jax.lax.dynamic_slice(xp, (starts_b[k], 0), (tc, f))
+                return acc + jnp.dot(
+                    tiles_b[k], xw.astype(tiles_b.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc = jax.lax.fori_loop(
+                0, t, tile_step, jnp.zeros((rb, f), jnp.float32)
+            )
+            return carry, acc
+
+        _, outs = jax.lax.scan(block, None, (self.tiles, self.starts))
+        out = outs.reshape(nb * rb, f)[: self.n_rows]
+        out = out + self.rest.spmm(x)
+        return out.astype(x.dtype) if x.dtype != jnp.float32 else out
+
+    def tree_flatten(self):
+        return (self.tiles, self.starts, self.rest), (
+            self.n_rows, self.n_cols,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+Adjacency = Union[DenseAdj, COOAdj, ELLAdj, HybridAdj, BandedAdj, TiledAdj]
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +497,99 @@ def build_banded(
     )
 
 
+def build_tiled(
+    adj: sp.spmatrix,
+    row_block: int = 256,
+    tile_cols: int = 512,
+    min_edges_per_tile: int = 48,
+    dtype=jnp.float32,
+    mem_budget_bytes: int = 4 << 30,
+    min_tiled_fraction: float = 0.25,
+) -> TiledAdj:
+    """Pack a clustered adjacency into dense tiles + hybrid leftovers.
+
+    ``min_edges_per_tile`` is the break-even density: below it the gather
+    engine is cheaper than streaming+multiplying a mostly-zero tile (the
+    measured crossover on the target chip is a few dozen edges per
+    256×512 tile). Raises ``ValueError`` when fewer than
+    ``min_tiled_fraction`` of the edges land in dense tiles (the graph is
+    not clustered enough — tiles would waste memory for no speedup) or the
+    tile array would exceed ``mem_budget_bytes``."""
+    csr = adj.tocsr()
+    n, m = csr.shape
+    nb = -(-max(n, 1) // row_block)
+    itemsize = jnp.dtype(dtype).itemsize
+
+    rows_of = np.repeat(np.arange(n), np.diff(csr.indptr))
+    block_of = rows_of // row_block
+    seg_of = csr.indices // tile_cols
+    # count edges per (row block, column segment)
+    num_segs = -(-m // tile_cols)
+    pair_key = block_of.astype(np.int64) * num_segs + seg_of
+    uniq, counts = np.unique(pair_key, return_counts=True)
+    dense_pairs = uniq[counts >= min_edges_per_tile]
+    dense_set = np.isin(pair_key, dense_pairs)
+
+    tiled_frac = dense_set.sum() / max(csr.nnz, 1)
+    if tiled_frac < min_tiled_fraction:
+        raise ValueError(
+            f"only {tiled_frac:.1%} of edges fall in dense "
+            f"{row_block}x{tile_cols} tiles (>= {min_edges_per_tile} edges); "
+            f"graph is not clustered enough — use engine='hybrid'"
+        )
+    # tiles per row block (padded to the max)
+    blocks_of_pairs = (dense_pairs // num_segs).astype(np.int64)
+    segs_of_pairs = (dense_pairs % num_segs).astype(np.int64)
+    t_max = int(np.bincount(blocks_of_pairs, minlength=nb).max()) if len(
+        dense_pairs
+    ) else 1
+    need = nb * t_max * row_block * tile_cols * itemsize
+    if need > mem_budget_bytes:
+        raise ValueError(
+            f"tiled pack needs {need/2**30:.2f} GiB (T={t_max}) > budget "
+            f"{mem_budget_bytes/2**30:.2f} GiB"
+        )
+
+    tiles = np.zeros((nb, t_max, row_block, tile_cols), np.float32)
+    starts = np.zeros((nb, t_max), np.int32)
+    # slot index of each dense pair within its row block (dense_pairs is
+    # sorted by key = b * num_segs + s, i.e. grouped by block)
+    first_of_block = np.searchsorted(blocks_of_pairs, np.arange(nb))
+    pair_slot = np.arange(len(dense_pairs)) - first_of_block[blocks_of_pairs]
+    pair_start = np.minimum(
+        segs_of_pairs * tile_cols, max(m - tile_cols, 0)
+    ).astype(np.int32)
+    starts[blocks_of_pairs, pair_slot] = pair_start
+
+    # vectorized tile fill: rank each dense edge's pair, then fancy-assign
+    local_r = rows_of % row_block
+    data = csr.data
+    cols = csr.indices
+    dense_idx = np.where(dense_set)[0]
+    pair_rank = np.searchsorted(dense_pairs, pair_key[dense_idx])
+    tiles[
+        blocks_of_pairs[pair_rank],
+        pair_slot[pair_rank],
+        local_r[dense_idx],
+        cols[dense_idx] - pair_start[pair_rank],
+    ] = data[dense_idx]
+
+    # leftovers into the standard hybrid engine
+    rest_mask = ~dense_set
+    rest = sp.coo_matrix(
+        (data[rest_mask], (rows_of[rest_mask], cols[rest_mask])), shape=(n, m)
+    ).tocsr()
+    # hybrid requires at least one edge; synthesize a zero-weight self entry
+    if rest.nnz == 0:
+        rest = sp.coo_matrix(
+            (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
+        ).tocsr()
+    return TiledAdj(
+        jnp.asarray(tiles, dtype=dtype), jnp.asarray(starts),
+        build_hybrid(rest), n_rows=n, n_cols=m,
+    )
+
+
 def device_adjacency(
     adj: sp.spmatrix,
     engine: str = "auto",
@@ -453,6 +615,8 @@ def device_adjacency(
         return build_hybrid(adj, **kwargs)
     if engine == "banded":
         return build_banded(adj, **kwargs)
+    if engine == "tiled":
+        return build_tiled(adj, **kwargs)
     if engine == "pallas":
         from ssrg_tpu.ops.pallas_spmm import build_pallas_csr
 

@@ -193,3 +193,78 @@ def test_banded_in_propagate_and_autotune():
         ref = adj @ ref
     best, timings = autotune_engine(adj, 8, reps=2)
     assert "banded" in timings
+
+
+# -- tiled (BSR-style dense-block) engine -------------------------------------
+
+
+def _clustered_graph(n=1024, communities=8, p_in=0.15, p_out=0.001, seed=0):
+    from ssrg_tpu.data.synthetic import sbm_graph
+
+    g = sbm_graph(n, communities, 8, p_in=p_in, p_out=p_out, seed=seed)
+    # sort nodes by community so clusters are contiguous (RCM-like layout)
+    order = np.argsort(g.y, kind="stable")
+    adj = g.adj.tocsr()[order][:, order].tocsr()
+    rng = np.random.default_rng(seed + 1)
+    adj.data[:] = rng.normal(size=adj.nnz).astype(np.float32)
+    return adj
+
+
+def test_tiled_matches_scipy():
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    adj = _clustered_graph()
+    x = np.random.default_rng(2).normal(size=(1024, 16)).astype(np.float32)
+    t = build_tiled(adj, row_block=64, tile_cols=128, min_edges_per_tile=16)
+    np.testing.assert_allclose(
+        np.asarray(t.spmm(x)), adj @ x, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tiled_refuses_unclustered():
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    rng = np.random.default_rng(3)
+    n, nnz = 8192, 8192  # ~4 edges per 256x512 tile: gather regime
+    adj = sp.csr_matrix(
+        (np.ones(nnz, np.float32),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+        shape=(n, n),
+    )
+    with pytest.raises(ValueError, match="not clustered enough"):
+        build_tiled(adj)
+
+
+def test_tiled_all_edges_in_tiles():
+    """Fully clustered graph: the hybrid rest is a zero stub."""
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    adj = _clustered_graph(n=256, communities=2, p_in=0.4, p_out=0.0)
+    x = np.random.default_rng(4).normal(size=(256, 8)).astype(np.float32)
+    t = build_tiled(adj, row_block=32, tile_cols=128, min_edges_per_tile=8,
+                    min_tiled_fraction=0.9)
+    np.testing.assert_allclose(
+        np.asarray(t.spmm(x)), adj @ x, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tiled_bf16_and_propagate():
+    import jax.numpy as jnp
+
+    from ssrg_tpu.ops.propagate import propagate
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    adj = _clustered_graph(n=512, communities=4)
+    x = np.random.default_rng(5).normal(size=(512, 8)).astype(np.float32)
+    t16 = build_tiled(adj, row_block=64, tile_cols=128,
+                      min_edges_per_tile=16, dtype=jnp.bfloat16)
+    out16 = np.asarray(t16.spmm(x))
+    ref = adj @ x
+    # bf16 error scales with accumulation magnitude, not per element
+    assert np.abs(out16 - ref).max() <= 2e-2 * np.abs(ref).max() + 1e-2
+    t = build_tiled(adj, row_block=64, tile_cols=128, min_edges_per_tile=16)
+    hops = np.asarray(propagate(t, x, 2))
+    ref = x
+    for k in range(3):
+        np.testing.assert_allclose(hops[k], ref, rtol=1e-3, atol=1e-3)
+        ref = adj @ ref
