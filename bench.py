@@ -5,8 +5,18 @@ default device vs the reference CPU kernel. Prints ONE JSON line:
 
 The measurement runs in a watchdog subprocess: the TPU here sits behind a
 remote-compile relay that can wedge indefinitely (infra-side), and a hung
-benchmark is worse than a degraded one. On timeout/failure the harness
-retries on CPU and marks the result ``device: "cpu-fallback"``.
+benchmark is worse than a degraded one. Mitigations for the relay:
+
+- the child enables JAX's persistent compilation cache (repo-local
+  ``.jax_cache/``), so a pre-warmed run compiles from cache instead of paying
+  the multi-minute remote compile;
+- the feature matrix is generated ON DEVICE (no ~25 s host->device transfer);
+- the default watchdog is generous (SSRG_BENCH_TIMEOUT=1800 s) because a
+  cold remote compile alone can take several minutes.
+
+On timeout/failure the harness retries on CPU, marks the result
+``device: "cpu-fallback"``, and records WHY the device attempt failed
+(``fallback_reason`` + stderr tail).
 """
 
 import json
@@ -15,13 +25,17 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-TIMEOUT_S = int(os.environ.get("SSRG_BENCH_TIMEOUT", "480"))
+TIMEOUT_S = int(os.environ.get("SSRG_BENCH_TIMEOUT", "1800"))
 
 CHILD = r"""
 import json, sys
 sys.path.insert(0, {repo!r})
+import jax
+# persistent compile cache: a pre-warmed cache turns the relay's multi-minute
+# remote compile into a local cache read
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 if {force_cpu}:
-    import jax
     jax.config.update("jax_platforms", "cpu")
 from ssrg_tpu.bench import run_bench
 result = run_bench(emit=False)
@@ -32,31 +46,44 @@ print("RESULT" + json.dumps(result))
 
 
 def _attempt(force_cpu: bool):
-    code = CHILD.format(repo=REPO, force_cpu=force_cpu)
+    """Returns (result_dict | None, failure_reason | None)."""
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    code = CHILD.format(repo=REPO, force_cpu=force_cpu, cache_dir=cache_dir)
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=TIMEOUT_S,
         )
-    except subprocess.TimeoutExpired:
-        return None
+    except subprocess.TimeoutExpired as exc:
+        tail = (exc.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        return None, f"timeout after {TIMEOUT_S}s; stderr tail: {tail[-400:]}"
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT"):
-            return json.loads(line[len("RESULT"):])
-    return None
+            return json.loads(line[len("RESULT"):]), None
+    return None, (
+        f"exit code {proc.returncode}; stderr tail: {proc.stderr[-400:]}"
+    )
 
 
 def main() -> int:
-    result = _attempt(force_cpu=False)
+    result, reason = _attempt(force_cpu=False)
     if result is None:
-        result = _attempt(force_cpu=True)
-    if result is None:
-        print(json.dumps({
-            "metric": "khop_spmm_edges_per_s", "value": 0.0,
-            "unit": "edges/s", "vs_baseline": 0.0,
-            "error": "benchmark timed out on both device and cpu fallback",
-        }))
-        return 1
+        fallback, fb_reason = _attempt(force_cpu=True)
+        if fallback is not None:
+            fallback["fallback_reason"] = reason
+            result = fallback
+        else:
+            print(json.dumps({
+                "metric": "khop_spmm_edges_per_s", "value": 0.0,
+                "unit": "edges/s", "vs_baseline": 0.0,
+                "error": "benchmark failed on both device and cpu fallback",
+                "device_failure": reason,
+                "cpu_failure": fb_reason,
+            }))
+            return 1
     print(json.dumps(result))
     return 0
 

@@ -114,8 +114,9 @@ def baseline_edges_per_s(
 
 
 def device_edges_per_s(
-    adj: sp.csr_matrix, x: np.ndarray, prop_steps: int,
-    engine: str = "auto", iters: int = 10,
+    adj: sp.csr_matrix, x: Optional[np.ndarray], prop_steps: int,
+    engine: str = "auto", iters: int = 10, num_features: Optional[int] = None,
+    diag: Optional[dict] = None,
 ) -> float:
     """TPU (or current default device) K-hop propagation throughput.
 
@@ -124,6 +125,12 @@ def device_edges_per_s(
     per-dispatch RTT (~60ms here) would otherwise dominate, and
     ``block_until_ready`` alone does not actually synchronize through the
     relay. Fetching forces full execution.
+
+    When ``x is None`` the feature matrix is generated ON DEVICE with
+    ``jax.random.normal`` (``num_features`` columns): through a ~3-4 MB/s
+    host→device relay, shipping an arxiv-scale [N, 128] f32 matrix costs
+    ~25 s of pure transfer the benchmark does not need — throughput is
+    value-independent. ``diag`` (if given) collects phase timings.
     """
     from functools import partial
 
@@ -132,8 +139,18 @@ def device_edges_per_s(
 
     from ssrg_tpu.ops.sparse import device_adjacency
 
+    t_build = time.perf_counter()
     adj_dev = device_adjacency(adj, engine)
-    x_dev = jax.device_put(np.asarray(x, np.float32))
+    if x is not None:
+        x_dev = jax.device_put(np.asarray(x, np.float32))
+        f = x_dev.shape[1]
+    else:
+        f = int(num_features)
+        x_dev = jax.jit(
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(0), (adj.shape[1], f), jnp.float32
+            )
+        )()
     total_hops = iters * prop_steps
 
     @partial(jax.jit, static_argnames=("hops",))
@@ -145,10 +162,16 @@ def device_edges_per_s(
         # tiny, data-dependent output: forces the whole chain to execute
         return out[0, :2] + out[-1, :2]
 
+    t_compile = time.perf_counter()
     _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))  # compile + warm
     t0 = time.perf_counter()
     _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))
     dt = time.perf_counter() - t0
+    if diag is not None:
+        diag["build_transfer_s"] = round(t_compile - t_build, 2)
+        diag["compile_warm_s"] = round(t0 - t_compile, 2)
+        diag["measure_s"] = round(dt, 2)
+        diag["device"] = jax.devices()[0].platform
     return total_hops * adj.nnz / dt
 
 
@@ -163,7 +186,11 @@ def run_bench(
     emit: bool = True,
 ) -> dict:
     adj, x = make_benchmark_graph(num_nodes, avg_degree, num_features, seed)
-    dev = device_edges_per_s(adj, x, prop_steps, engine, iters)
+    diag: dict = {}
+    dev = device_edges_per_s(
+        adj, None, prop_steps, engine, iters,
+        num_features=num_features, diag=diag,
+    )
     base, base_name = baseline_edges_per_s(adj, x, prop_steps)
     result = {
         "metric": "khop_spmm_edges_per_s",
@@ -177,6 +204,7 @@ def run_bench(
         "num_features": num_features,
         "prop_steps": prop_steps,
         "engine": engine,
+        **diag,
     }
     if emit:
         print(json.dumps(result))

@@ -25,7 +25,8 @@ import sys
 
 def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model_name", default="sgc",
-                   help="sgc|ssgc|sign|gbp|gamlp|nafs|gcn|wavelet|clean_train")
+                   help="sgc|ssgc|sign|gbp|gamlp|nafs|gcn|wavelet|clean_train"
+                        "|magnet|two_dir|two_order")
     p.add_argument("--num_layers", type=int, default=3)
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--hidden_dim", type=int, default=256)
@@ -42,6 +43,9 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_epochs", type=int, default=300)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--warmup_epochs", type=int, default=0,
+                   help="linear lr ramp over the first N epochs (reference "
+                        "adjust_learning_rate)")
     p.add_argument("--train_batch_size", type=int, default=None)
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--spmm_engine", default="auto",
@@ -101,6 +105,7 @@ def cmd_train(args) -> int:
         seed=args.seed, normalize_times=args.normalize_times,
         num_epochs=args.num_epochs, lr=args.lr,
         weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup_epochs,
         train_batch_size=args.train_batch_size,
         eval_batch_size=args.eval_batch_size,
         spmm_engine=args.spmm_engine,
@@ -184,6 +189,7 @@ def cmd_link(args) -> int:
         seed=args.seed, normalize_times=args.normalize_times,
         num_epochs=args.num_epochs, lr=args.lr,
         weight_decay=args.weight_decay, spmm_engine=args.spmm_engine,
+        warmup_epochs=args.warmup_epochs,
         train_batch_size=args.train_batch_size,
         eval_batch_size=args.eval_batch_size,
         scan_epochs=args.scan_epochs,

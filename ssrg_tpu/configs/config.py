@@ -109,6 +109,8 @@ class TrainingConfig:
     num_epochs: int = 300
     lr: float = 1e-3
     weight_decay: float = 1e-5
+    warmup_epochs: int = 0  # linear lr ramp over the first N steps
+    # (reference adjust_learning_rate, SSRG/tasks/utils.py:20-23)
     train_batch_size: Optional[int] = None  # None => full-batch
     eval_batch_size: Optional[int] = None
     dtype: str = "float32"      # training compute dtype

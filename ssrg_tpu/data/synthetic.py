@@ -131,7 +131,11 @@ def sbm_graph(
         per_class = max(num_features // num_classes, 1)
         for k in range(num_classes):
             lo = (k * per_class) % num_features
-            topic[k, lo : lo + per_class] += purity * num_classes
+            # wrap the boosted range explicitly: a plain slice truncates at
+            # the vocabulary edge when num_features % num_classes != 0,
+            # giving later classes a smaller boosted vocabulary
+            idx = (lo + np.arange(per_class)) % num_features
+            topic[k, idx] += purity * num_classes
         topic /= topic.sum(axis=1, keepdims=True)
         x = np.zeros((num_node, num_features))
         for k in range(num_classes):

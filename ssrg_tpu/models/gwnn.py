@@ -190,8 +190,7 @@ class GWNNTrainer:
         # x/phi/y ride through jit as ARGUMENTS, not closure captures —
         # captured device arrays become HLO constants (slow compiles; request
         # size limits on remote-compile relays)
-        @jax.jit
-        def step(x, phi, phi_inv, y, train_idx, params, opt_state, rng):
+        def step_raw(x, phi, phi_inv, y, train_idx, params, opt_state, rng):
             def loss_fn(p):
                 logp = self.module.apply(
                     {"params": p}, x, phi, phi_inv,
@@ -206,18 +205,25 @@ class GWNNTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        # the partial binds AFTER jit, so x/phi/... remain jit arguments
         step = partial(
-            step, self.x, self.phi, self.phi_inv, self.y,
+            jax.jit(step_raw), self.x, self.phi, self.phi_inv, self.y,
             jnp.asarray(self.train_idx),
         )
 
         if scan:
+            # the outer jit must ALSO take x/phi/... as arguments: tracing
+            # through the partial-bound `step` would inline the bound
+            # concrete arrays into run_all's program as constants (the
+            # closure-capture failure mode the repo forbids)
             @partial(jax.jit, static_argnames=("epochs",))
-            def run_all(params, opt_state, rng0, epochs):
+            def run_all(x, phi, phi_inv, y, train_idx, params, opt_state,
+                        rng0, epochs):
                 def epoch_fn(carry, i):
                     params, opt_state = carry
-                    params, opt_state, loss = step(
-                        params, opt_state, jax.random.fold_in(rng0, i)
+                    params, opt_state, loss = step_raw(
+                        x, phi, phi_inv, y, train_idx,
+                        params, opt_state, jax.random.fold_in(rng0, i),
                     )
                     return (params, opt_state), loss
 
@@ -228,6 +234,8 @@ class GWNNTrainer:
 
             t0 = time.time()
             (params, opt_state), losses = run_all(
+                self.x, self.phi, self.phi_inv, self.y,
+                jnp.asarray(self.train_idx),
                 params, opt_state, rng, cfg.epochs
             )
             per_epoch = (time.time() - t0) / max(cfg.epochs, 1)

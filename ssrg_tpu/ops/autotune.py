@@ -21,23 +21,27 @@ import scipy.sparse as sp
 from ssrg_tpu.ops.sparse import Adjacency, device_adjacency
 
 
+# NOTE: the adjacency must be a jit ARGUMENT, not a closure capture —
+# captured device arrays are inlined into the HLO as constants, which
+# bloats (re)compilation and overflows remote-compile request limits on
+# tunneled backends (observed: HTTP 413 at ~0.8 GB constants).
+@partial(jax.jit, static_argnames=("n",))
+def _many_hops(a: Adjacency, h0: jnp.ndarray, n: int) -> jnp.ndarray:
+    # the carry must be CHAINED (h = a.spmm(h)) — a loop body computing
+    # a.spmm(h0) is loop-invariant and XLA hoists it out of the while
+    # loop, so the timing would measure ONE hop regardless of `n`
+    def body(h, _):
+        return a.spmm(h), None
+
+    h, _ = jax.lax.scan(body, h0, None, length=n)
+    # tiny data-dependent output forces execution through remote relays
+    return h[0, :2] + h[-1, :2]
+
+
 def _time_engine(adj_dev: Adjacency, x: jnp.ndarray, reps: int) -> float:
-    # NOTE: the adjacency must be a jit ARGUMENT, not a closure capture —
-    # captured device arrays are inlined into the HLO as constants, which
-    # bloats (re)compilation and overflows remote-compile request limits on
-    # tunneled backends (observed: HTTP 413 at ~0.8 GB constants).
-    @partial(jax.jit, static_argnames=("n",))
-    def many(a, h0, n):
-        def body(c, _):
-            out = a.spmm(h0)
-            return c + out.ravel()[0], None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return out
-
-    _ = float(many(adj_dev, x, reps))  # compile + warm
+    _ = np.asarray(_many_hops(adj_dev, x, reps))  # compile + warm
     t0 = time.perf_counter()
-    _ = float(many(adj_dev, x, reps))
+    _ = np.asarray(_many_hops(adj_dev, x, reps))
     return (time.perf_counter() - t0) / reps
 
 
@@ -51,8 +55,16 @@ def autotune_engine(
     dense_limit: int = 16384,
     seed: int = 0,
     verbose: bool = False,
+    dense_block_budget_bytes: int = 256 << 20,
 ) -> Tuple[str, Dict[str, float]]:
-    """Return (best_engine_name, per-engine seconds/hop)."""
+    """Return (best_engine_name, per-engine seconds/hop).
+
+    ``dense_block_budget_bytes`` caps the banded/tiled candidates well below
+    their standalone defaults: autotuning only needs a *timing sample*, and on
+    slow host→device links (the remote relay here moves ~3-4 MB/s) shipping a
+    multi-GiB dense-block array just to time one engine would stall for many
+    minutes. Graphs whose banded/tiled pack exceeds the budget simply skip
+    those candidates (the builders raise, caught below)."""
     rng = np.random.default_rng(seed)
     x = jnp.asarray(
         rng.normal(size=(adj.shape[1], feature_dim)).astype(np.float32)
@@ -61,8 +73,12 @@ def autotune_engine(
     for name in candidates:
         if name == "dense" and adj.shape[0] > dense_limit:
             continue
+        kwargs = (
+            {"mem_budget_bytes": dense_block_budget_bytes}
+            if name in ("banded", "tiled") else {}
+        )
         try:
-            adj_dev = device_adjacency(adj, name)
+            adj_dev = device_adjacency(adj, name, **kwargs)
             timings[name] = _time_engine(adj_dev, x, reps)
         except Exception as exc:  # engine not viable for this graph
             if verbose:

@@ -100,6 +100,7 @@ def create_train_state(
     example_inputs,
     lr: float,
     weight_decay: float,
+    warmup_epochs: int = 0,
     **apply_kwargs,
 ) -> TrainState:
     variables = module.init(
@@ -110,7 +111,7 @@ def create_train_state(
     return TrainState.create(
         apply_fn=module.apply,
         params=params,
-        tx=make_optimizer(lr, weight_decay),
+        tx=make_optimizer(lr, weight_decay, warmup_epochs=warmup_epochs),
         batch_stats=batch_stats,
     )
 

@@ -105,6 +105,7 @@ class LinkClassification:
         rng, init_rng = jax.random.split(rng)
         state = create_train_state(
             module, init_rng, p.inputs, cfg.lr, cfg.weight_decay,
+            warmup_epochs=cfg.warmup_epochs,
             query_edges=tr_pairs[:2], **init_kwargs,
         )
 

@@ -52,6 +52,11 @@ class Prepared:
     hops_layout: bool              # True when inputs is the hop stack
     adj_device: Any = None         # device adjacency for naive GCN / (phi, phi_inv)
     preprocess_seconds: float = 0.0
+    # resolved basic engine name (meta-engines "autotune"/"reorder_banded"
+    # resolved to a concrete format) — consumers that build further device
+    # adjacencies (postprocess label-prop, serving) must use this, not the
+    # raw cfg.spmm_engine string
+    engine: str = "auto"
 
 
 def prepare(
@@ -86,17 +91,20 @@ def prepare(
         )
         module = spec.module
         return Prepared(module, x, False, adj_device=(phi, phi_inv),
-                        preprocess_seconds=time.time() - t0)
+                        preprocess_seconds=time.time() - t0,
+                        engine=basic_engine)
 
     if spec.naive:
         adj_norm = spec.construct_adj(dataset.adj, model_cfg)
         adj_dev = device_adjacency(adj_norm, basic_engine)
         return Prepared(spec.module, x, False, adj_device=adj_dev,
-                        preprocess_seconds=time.time() - t0)
+                        preprocess_seconds=time.time() - t0,
+                        engine=basic_engine)
 
     if spec.graph_op is None:
         return Prepared(spec.module, x, False,
-                        preprocess_seconds=time.time() - t0)
+                        preprocess_seconds=time.time() - t0,
+                        engine=basic_engine)
 
     adj_norm = spec.construct_adj(dataset.adj, model_cfg)
     if isinstance(adj_norm, tuple):
@@ -117,7 +125,8 @@ def prepare(
             inputs = jnp.concatenate([h[-1] for h in hop_stacks], axis=-1)
         jax.tree_util.tree_leaves(inputs)[0].block_until_ready()
         return Prepared(spec.module, inputs, False,
-                        preprocess_seconds=time.time() - t0)
+                        preprocess_seconds=time.time() - t0,
+                        engine=basic_engine)
     from ssrg_tpu.cache import cached_propagate
 
     if engine == "reorder_banded":
@@ -159,7 +168,8 @@ def prepare(
     if spec.pre_msg_learnable:
         # aggregation is trainable: runs per-batch inside forward
         return Prepared(spec.module, hops, True,
-                        preprocess_seconds=time.time() - t0)
+                        preprocess_seconds=time.time() - t0,
+                        engine=basic_engine)
 
     # aggregate now, once (reference base_model.py:38-44)
     msg = spec.module.msg_op
@@ -171,7 +181,8 @@ def prepare(
         aggregated, module = hops[-1], spec.module
     aggregated.block_until_ready()
     return Prepared(module, aggregated, False,
-                    preprocess_seconds=time.time() - t0)
+                    preprocess_seconds=time.time() - t0,
+                    engine=basic_engine)
 
 
 def slice_inputs(prepared: "Prepared", idx):
@@ -346,7 +357,8 @@ class NodeClassification:
         init_kwargs = {"adj": p.adj_device} if p.adj_device is not None else {}
         rng, init_rng = jax.random.split(rng)
         state = create_train_state(
-            p.module, init_rng, init_inputs, cfg.lr, cfg.weight_decay, **init_kwargs
+            p.module, init_rng, init_inputs, cfg.lr, cfg.weight_decay,
+            warmup_epochs=cfg.warmup_epochs, **init_kwargs
         )
         if cfg.resume_from:
             from ssrg_tpu.cache import load_metadata, load_params
@@ -398,6 +410,18 @@ class NodeClassification:
             and not has_bn
             and (cfg.eval_batch_size is None or full_graph)
         )
+        if cfg.scan_epochs and not use_scan:
+            from ssrg_tpu.logger import get_logger
+
+            why = (
+                "minibatch training (train_batch_size set)" if minibatch
+                else "BatchNorm model (mutable batch_stats)" if has_bn
+                else "batched evaluation (eval_batch_size set)"
+            )
+            get_logger().warning(
+                "scan_epochs requested but falling back to the host epoch "
+                "loop: %s is not scan-eligible", why,
+            )
         if use_scan:
             state, best_val, best_test, best_params, best_epoch, history = (
                 self._execute_scanned(
@@ -590,7 +614,10 @@ class NodeClassification:
             )
         probs = jax.nn.softmax(logits, axis=1)
         post_adj = GRAPH_OPS[self.post_graph_op](self.dataset.adj, self.model_cfg)
-        post_dev = device_adjacency(post_adj, self.cfg.spmm_engine)
+        # p.engine is the RESOLVED engine: cfg.spmm_engine may be a
+        # meta-engine ("autotune"/"reorder_banded") that device_adjacency
+        # does not accept
+        post_dev = device_adjacency(post_adj, p.engine)
         hops = propagate(post_dev, probs, self.spec.prop_steps)
         msg = make_message_op(self.post_msg_aggr)
         out = msg.apply(msg.init(jax.random.PRNGKey(0), hops), hops)

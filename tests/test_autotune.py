@@ -29,3 +29,40 @@ def test_autotune_in_training():
     spec = load_model(mc, ds.num_features, ds.num_classes)
     task = NodeClassification(ds, spec, mc, tc)
     assert task.best_test > 0.6
+
+
+def test_many_hops_chains_the_carry():
+    """Regression (round-1 verdict Weak #2): the timing loop must CHAIN the
+    carry (h = A @ h) so XLA cannot hoist a loop-invariant SpMM out of the
+    scan. n hops over A must equal A^n @ x, not A @ x."""
+    import jax.numpy as jnp
+
+    from ssrg_tpu.ops.autotune import _many_hops
+    from ssrg_tpu.ops.sparse import device_adjacency
+
+    rng = np.random.default_rng(1)
+    a = (rng.uniform(size=(40, 40)) < 0.2).astype(np.float32)
+    adj = sp.csr_matrix(a)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    dev = device_adjacency(adj, "coo")
+    out3 = np.asarray(_many_hops(dev, jnp.asarray(x), 3))
+    dense = a @ (a @ (a @ x))
+    expect = dense[0, :2] + dense[-1, :2]
+    np.testing.assert_allclose(out3, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_autotune_respects_dense_block_budget():
+    """banded/tiled candidates must honor the (small) autotune memory budget
+    instead of shipping multi-GiB dense blocks just to time one engine."""
+    rng = np.random.default_rng(3)
+    # random (non-banded) graph: window degenerates to ~N, so a tiny budget
+    # must exclude the banded candidate
+    a = (rng.uniform(size=(600, 600)) < 0.02).astype(np.float32)
+    np.fill_diagonal(a, 0)
+    adj = sp.csr_matrix(np.maximum(a, a.T))
+    best, timings = autotune_engine(
+        adj, 8, reps=2, candidates=("coo", "banded"),
+        dense_block_budget_bytes=1024,
+    )
+    assert "banded" not in timings
+    assert best == "coo"
