@@ -65,6 +65,10 @@ def _add_data_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_name", default="cora_0_0")
     p.add_argument("--data_root", default="./sparsity_datasets/simhomo/Planetoid")
     p.add_argument("--data_split", default="official")
+    p.add_argument("--surrogate_features", action="store_true",
+                   help="ignore feature.pt and build deterministic "
+                        "structural features from the intact edge list "
+                        "(for snapshots with truncated feature blobs)")
     p.add_argument("--synthetic", action="store_true",
                    help="use a hermetic SBM dataset instead of files")
     p.add_argument("--synthetic_nodes", type=int, default=2708)
@@ -85,7 +89,8 @@ def _load_dataset(args):
     from ssrg_tpu.data.sparsity import load_homo_simplex_sparsity_dataset
 
     return load_homo_simplex_sparsity_dataset(
-        name=args.data_name, root=args.data_root, split=args.data_split
+        name=args.data_name, root=args.data_root, split=args.data_split,
+        surrogate_features=getattr(args, "surrogate_features", False),
     )
 
 

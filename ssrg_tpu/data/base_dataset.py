@@ -67,18 +67,42 @@ class NodeDataset:
     def process(self) -> Graph:
         raise NotImplementedError
 
-    def _prepare(self) -> None:
+    def _prepare(self) -> Optional[Graph]:
         if not osp.exists(self.processed_file_path):
             if not all(osp.exists(p) for p in self.raw_file_paths()):
                 os.makedirs(self.raw_dir, exist_ok=True)
                 self.download()
             graph = self.process()
-            os.makedirs(self.processed_dir, exist_ok=True)
-            pkl_write_file(graph, self.processed_file_path)
+            try:
+                os.makedirs(self.processed_dir, exist_ok=True)
+                pkl_write_file(graph, self.processed_file_path)
+            except OSError:
+                # read-only dataset root (e.g. the mounted reference
+                # snapshot): serve the processed graph from memory
+                return graph
+        return None
 
     def read_file(self) -> Graph:
-        self._prepare()
-        self.graph = pkl_read_file(self.processed_file_path)
+        graph = self._prepare()
+        if graph is None:
+            try:
+                graph = pkl_read_file(self.processed_file_path)
+            except Exception:
+                # corrupt/truncated processed pickle (the reference snapshot
+                # ships .graph blobs cut at 2,359,296 bytes, or a pickle from
+                # the reference's own `datasets.base_data` classes): try the
+                # compat loader, then fall back to reprocessing the raws
+                try:
+                    from ssrg_tpu.data.reference_compat import (
+                        load_reference_processed,
+                    )
+
+                    graph = load_reference_processed(self.processed_file_path)
+                except Exception:
+                    if not all(osp.exists(p) for p in self.raw_file_paths()):
+                        raise
+                    graph = self.process()
+        self.graph = graph
         return self.graph
 
     def generate_split(self, split: str) -> None:

@@ -206,7 +206,8 @@ def run_augment(args) -> None:
         degree_level=args.degree_level, data_save_path=args.data_save_path,
     )
     dataset = load_homo_simplex_sparsity_dataset(
-        cfg.data_name, cfg.data_root, args.data_split
+        cfg.data_name, cfg.data_root, args.data_split,
+        surrogate_features=getattr(args, "surrogate_features", False),
     )
     out = osp.join(cfg.data_save_path, cfg.data_name)
     raw = augment_dataset(dataset, cfg, out, args.seed, verbose=True)
