@@ -35,6 +35,8 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ppr_alpha", type=float, default=0.1)
     p.add_argument("--message_alpha", type=float, default=0.5)
     p.add_argument("--q", type=float, default=0.05)
+    p.add_argument("--edge_mode", default="concat",
+                   help="link-scorer pair features: concat|hadamard")
 
 
 def _add_training_flags(p: argparse.ArgumentParser) -> None:
@@ -105,6 +107,7 @@ def cmd_train(args) -> int:
         dropout=args.dropout, hidden_dim=args.hidden_dim,
         prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
         message_alpha=args.message_alpha, q=args.q,
+        edge_mode=getattr(args, "edge_mode", "concat"),
     )
     train_cfg = TrainingConfig(
         seed=args.seed, normalize_times=args.normalize_times,
@@ -170,25 +173,43 @@ def cmd_baseline(args) -> int:
 
 
 def cmd_link(args) -> int:
-    """Link classification (reference SSRG/tasks/link_classification.py)."""
+    """Link classification (reference SSRG/tasks/link_classification.py).
+
+    With ``--data_name`` the edge-pair splits are generated from the
+    file-backed graph (held-out-edge protocol,
+    ``data/link.py::link_dataset_from_graph``); otherwise a hermetic
+    synthetic dataset is used."""
     from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
-    from ssrg_tpu.data.link import synthetic_link_dataset
+    from ssrg_tpu.data.link import link_dataset_from_graph, synthetic_link_dataset
     from ssrg_tpu.models.zoo import load_model
     from ssrg_tpu.train.link_classification import LinkClassification
 
-    dataset = synthetic_link_dataset(
-        num_node=args.synthetic_nodes,
-        num_classes=args.synthetic_classes,
-        num_features=args.synthetic_features,
-        num_pairs=args.num_pairs,
-        seed=args.seed,
-        label_mode=args.label_mode,
-    )
+    if args.data_name:
+        from ssrg_tpu.data.sparsity import load_homo_simplex_sparsity_dataset
+
+        node_ds = load_homo_simplex_sparsity_dataset(
+            name=args.data_name, root=args.data_root, split=args.data_split,
+            surrogate_features=args.surrogate_features,
+        )
+        dataset = link_dataset_from_graph(
+            node_ds, val_frac=args.val_frac, test_frac=args.test_frac,
+            neg_ratio=args.neg_ratio, seed=args.seed,
+        )
+    else:
+        dataset = synthetic_link_dataset(
+            num_node=args.synthetic_nodes,
+            num_classes=args.synthetic_classes,
+            num_features=args.synthetic_features,
+            num_pairs=args.num_pairs,
+            seed=args.seed,
+            label_mode=args.label_mode,
+        )
     model_cfg = ModelConfig(
         model_name=args.model_name, num_layers=args.num_layers,
         dropout=args.dropout, hidden_dim=args.hidden_dim,
         prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
         message_alpha=args.message_alpha, q=args.q,
+        edge_mode=getattr(args, "edge_mode", "concat"),
     )
     train_cfg = TrainingConfig(
         seed=args.seed, normalize_times=args.normalize_times,
@@ -280,6 +301,7 @@ def cmd_predict(args) -> int:
         dropout=args.dropout, hidden_dim=args.hidden_dim,
         prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
         message_alpha=args.message_alpha, q=args.q,
+        edge_mode=getattr(args, "edge_mode", "concat"),
     )
     spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
     pred = Predictor(
@@ -387,6 +409,20 @@ def main(argv=None) -> int:
     )
     _add_model_flags(p_link)
     _add_training_flags(p_link)
+    p_link.add_argument("--data_name", default=None,
+                        help="file-backed dataset name (e.g. cora_0_0); "
+                             "omit for a hermetic synthetic graph")
+    p_link.add_argument("--data_root",
+                        default="./sparsity_datasets/simhomo/Planetoid")
+    p_link.add_argument("--data_split", default="official")
+    p_link.add_argument("--surrogate_features", action="store_true",
+                        help="structural features from the intact edge list")
+    p_link.add_argument("--val_frac", type=float, default=0.1,
+                        help="fraction of edges held out as val positives")
+    p_link.add_argument("--test_frac", type=float, default=0.2,
+                        help="fraction of edges held out as test positives")
+    p_link.add_argument("--neg_ratio", type=float, default=1.0,
+                        help="sampled non-edges per positive pair")
     p_link.add_argument("--synthetic_nodes", type=int, default=600)
     p_link.add_argument("--synthetic_classes", type=int, default=3)
     p_link.add_argument("--synthetic_features", type=int, default=32)

@@ -96,6 +96,8 @@ class ModelConfig:
     message_alpha: float = 0.5
     q: float = 0.05           # magnetic Laplacian phase parameter
     use_bn: bool = False
+    edge_mode: str = "concat"  # link-scorer pair features: concat (reference
+    # parity, simple_models.py:106,154) | hadamard (adds a*b, |a-b| channels)
     dtype: str = "float32"   # head compute dtype ("bfloat16" for MXU fast path)
     wavelet: WaveletConfig = field(default_factory=WaveletConfig)
 

@@ -49,10 +49,16 @@ class EdgeList:
         return cls(*children, aux)
 
     @classmethod
-    def from_scipy(cls, adj, pad_to: int = 512) -> "EdgeList":
+    def from_scipy(cls, adj, pad_to: int = 512,
+                   e_pad: "int | None" = None) -> "EdgeList":
+        """``e_pad`` forces a specific padded edge count — used by the
+        cluster-minibatch path so every batch shares ONE compiled shape."""
         coo = adj.tocoo()
         e = coo.nnz
-        e_pad = ((e + pad_to - 1) // pad_to) * pad_to if e else pad_to
+        if e_pad is None:
+            e_pad = ((e + pad_to - 1) // pad_to) * pad_to if e else pad_to
+        elif e_pad < e:
+            raise ValueError(f"e_pad {e_pad} < nnz {e}")
         row = np.zeros(e_pad, np.int32)
         col = np.zeros(e_pad, np.int32)
         mask = np.zeros(e_pad, np.float32)

@@ -53,6 +53,23 @@ def _edge_concat(x: jnp.ndarray, query_edges: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _edge_features(x: jnp.ndarray, query_edges: jnp.ndarray,
+                   mode: str = "concat") -> jnp.ndarray:
+    """Pair features for the link scorer.
+
+    ``concat`` (reference parity, simple_models.py:106,154) cannot express
+    endpoint SIMILARITY under a linear scorer; ``hadamard`` appends the
+    symmetric interaction channels [a ⊙ b, |a − b|] (standard link-prediction
+    featurization), which makes edge-existence linearly separable from
+    smoothed/propagated representations."""
+    a, b = x[query_edges[:, 0]], x[query_edges[:, 1]]
+    if mode == "concat":
+        return jnp.concatenate([a, b], axis=-1)
+    if mode == "hadamard":
+        return jnp.concatenate([a, b, a * b, jnp.abs(a - b)], axis=-1)
+    raise ValueError(f"unknown edge feature mode {mode!r}")
+
+
 class IdenticalMapping(nn.Module):
     """Identity head (simple_models.py:87-93)."""
 
@@ -103,6 +120,7 @@ class LogisticRegression(nn.Module):
     (simple_models.py:96-112)."""
 
     output_dim: int
+    edge_mode: str = "concat"
 
     @nn.compact
     def __call__(self, feature, train: bool = False, query_edges=None):
@@ -110,7 +128,7 @@ class LogisticRegression(nn.Module):
         if query_edges is None:
             return x
         return nn.Dense(self.output_dim, kernel_init=_xavier_relu, name="edge_fc")(
-            _edge_concat(x, query_edges)
+            _edge_features(x, query_edges, self.edge_mode)
         )
 
 
@@ -127,6 +145,7 @@ class MultiLayerPerceptron(nn.Module):
     dropout: float = 0.5
     bn: bool = False
     dtype: Any = jnp.float32
+    edge_mode: str = "concat"
 
     @nn.compact
     def __call__(self, feature, train: bool = False, query_edges=None):
@@ -147,7 +166,7 @@ class MultiLayerPerceptron(nn.Module):
             out = nn.Dense(self.output_dim, kernel_init=_xavier_relu,
                            dtype=self.dtype, name="fc_out")(x)
             return out.astype(jnp.float32)
-        x = _edge_concat(x, query_edges)
+        x = _edge_features(x, query_edges, self.edge_mode)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         out = nn.Dense(self.output_dim, kernel_init=_xavier_relu,
                        dtype=self.dtype, name="edge_fc")(x)

@@ -115,6 +115,7 @@ def _mlp(cfg: ModelConfig, output_dim: int) -> MultiLayerPerceptron:
     import jax.numpy as jnp
 
     return MultiLayerPerceptron(
+        edge_mode=cfg.edge_mode,
         hidden_dim=cfg.hidden_dim,
         output_dim=output_dim,
         num_layers=cfg.num_layers,
@@ -133,7 +134,8 @@ def make_sgc(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
         prop_steps=cfg.prop_steps,
         module=PrecomputeModel(
             msg_op=make_message_op("last"),
-            head=LogisticRegression(output_dim=output_dim),
+            head=LogisticRegression(output_dim=output_dim,
+                                    edge_mode=cfg.edge_mode),
         ),
     )
 
@@ -147,7 +149,8 @@ def make_ssgc(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
         prop_steps=cfg.prop_steps,
         module=PrecomputeModel(
             msg_op=make_message_op("mean"),
-            head=LogisticRegression(output_dim=output_dim),
+            head=LogisticRegression(output_dim=output_dim,
+                                    edge_mode=cfg.edge_mode),
         ),
     )
 
@@ -214,7 +217,8 @@ def make_nafs(cfg: ModelConfig, feat_dim: int, output_dim: int) -> ModelSpec:
         prop_steps=cfg.prop_steps,
         module=PrecomputeModel(
             msg_op=make_message_op("over_smooth_dis_weighted"),
-            head=LogisticRegression(output_dim=output_dim),
+            head=LogisticRegression(output_dim=output_dim,
+                                    edge_mode=cfg.edge_mode),
         ),
     )
 

@@ -42,7 +42,7 @@ from ssrg_tpu.models.baselines import (
 )
 from ssrg_tpu.ops.normalize import sym_norm
 from ssrg_tpu.ops.propagate import propagate
-from ssrg_tpu.ops.sparse import device_adjacency
+from ssrg_tpu.ops.sparse import _round_up, device_adjacency
 from ssrg_tpu.train.common import (
     accuracy,
     create_train_state,
@@ -87,32 +87,49 @@ class ClusterBatch:
 
 def build_cluster_batches(
     adj: sp.csr_matrix, num_parts: int, parts_per_batch: int,
-    engine: str = "auto", seed: int = 0,
+    engine: str = "auto", seed: int = 0, model_kind: str = "gcn",
 ) -> List[ClusterBatch]:
+    """Prebuild cluster minibatches with the induced-subgraph operator the
+    chosen model consumes (reference runs ClusterLoader for whichever model
+    was picked, ``/root/reference/main.py:28-44``): ``gcn`` → symmetric-norm
+    sub-adjacency, ``sage`` → row-mean-norm sub-adjacency, ``gat`` →
+    induced-subgraph :class:`EdgeList` (all batches padded to ONE static
+    edge count so a single compiled step serves the whole epoch)."""
     n = adj.shape[0]
     order = bfs_order(adj)
     parts = np.array_split(order, num_parts)
     rng = np.random.default_rng(seed)
     part_order = rng.permutation(num_parts)
-    batches = []
     groups = [
         np.concatenate([parts[i] for i in part_order[b : b + parts_per_batch]])
         for b in range(0, num_parts, parts_per_batch)
     ]
     b_pad = max(g.shape[0] for g in groups)
+    staged = []
     for g in groups:
         pad = b_pad - g.shape[0]
         ids = np.concatenate([g, np.repeat(g[:1], pad)]) if pad else g
         valid = np.concatenate([np.ones(g.shape[0], np.float32),
                                 np.zeros(pad, np.float32)])
-        sub = adj[ids][:, ids]
-        sub_norm = sym_norm(sub, 0.5)
-        batches.append(
-            ClusterBatch(
+        staged.append((ids, valid, adj[ids][:, ids]))
+
+    batches = []
+    if model_kind == "gat":
+        e_pad = max(512, _round_up(max(s.nnz for _, _, s in staged), 512))
+        for ids, valid, sub in staged:
+            batches.append(ClusterBatch(
                 jnp.asarray(ids), jnp.asarray(valid),
-                device_adjacency(sub_norm, engine),
-            )
-        )
+                EdgeList.from_scipy(sub, e_pad=e_pad),
+            ))
+        return batches
+    norm = mean_norm if model_kind == "sage" else (
+        lambda a: sym_norm(a, 0.5)
+    )
+    for ids, valid, sub in staged:
+        batches.append(ClusterBatch(
+            jnp.asarray(ids), jnp.asarray(valid),
+            device_adjacency(norm(sub), engine),
+        ))
     return batches
 
 
@@ -194,9 +211,16 @@ class BaselineTask:
             self.module = RobustMLP(hidden_dim, self.num_classes, num_layers, dropout)
             self.inputs = x
 
-        if cluster_parts is not None and model_name == "gcn":
+        if cluster_parts is not None:
+            if not gcn_like:
+                raise ValueError(
+                    "cluster minibatching applies to the full-graph models "
+                    f"(gcn/sage/gat), not {model_name!r} — precompute-family "
+                    "baselines minibatch over nodes instead"
+                )
             self.cluster_batches = build_cluster_batches(
-                dataset.adj, cluster_parts, parts_per_batch, engine, cfg.seed
+                dataset.adj, cluster_parts, parts_per_batch, engine,
+                cfg.seed, model_kind=model_name,
             )
 
         if run:
