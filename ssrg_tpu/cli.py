@@ -14,6 +14,7 @@ Subcommands:
 - ``gwnn``      standalone GWNN pipeline (reference wavelet/src/main.py)
 - ``predict``   checkpoint-backed inference (ssrg_tpu/serve.py)
 - ``autotune``  per-graph SpMM engine diagnosis
+- ``ooc``       out-of-core spool -> propagate -> train (papers100M ladder)
 - ``bench``     K-hop SpMM precompute benchmark
 """
 
@@ -343,6 +344,44 @@ def cmd_autotune(args) -> int:
     return 0
 
 
+def cmd_ooc(args) -> int:
+    """Out-of-core node classification (papers100M ladder as a command):
+    spool the adjacency from a memory-mapped edge file, propagate K hops
+    block-at-a-time, then minibatch-train a precompute model over the on-disk
+    hop directories (O(block·F) device / O(batch·K·F) host memory)."""
+    import numpy as np
+
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.train.outofcore_task import run_outofcore
+
+    model_cfg = ModelConfig(
+        model_name=args.model_name, num_layers=args.num_layers,
+        dropout=args.dropout, hidden_dim=args.hidden_dim,
+        prop_steps=args.prop_steps, r=args.r, ppr_alpha=args.ppr_alpha,
+        message_alpha=args.message_alpha, q=args.q,
+    )
+    train_cfg = TrainingConfig(
+        seed=args.seed, num_epochs=args.num_epochs, lr=args.lr,
+        weight_decay=args.weight_decay, warmup_epochs=args.warmup_epochs,
+        train_batch_size=args.train_batch_size or 512,
+    )
+
+    def _load_idx(path):
+        return np.load(path) if path else None
+
+    result = run_outofcore(
+        args.edges, args.features, args.labels, args.work_dir,
+        num_shards=args.num_shards, model_cfg=model_cfg,
+        train_cfg=train_cfg,
+        train_idx=_load_idx(args.train_idx),
+        val_idx=_load_idx(args.val_idx),
+        test_idx=_load_idx(args.test_idx),
+        verbose=args.verbose,
+    )
+    print(f"Best val: {result.best_val:.4f}, best test: {result.best_test:.4f}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from ssrg_tpu.bench import run_bench
 
@@ -482,6 +521,28 @@ def main(argv=None) -> int:
     p_tune.add_argument("--reps", type=int, default=8)
     p_tune.add_argument("--seed", type=int, default=2023)
     p_tune.set_defaults(fn=cmd_autotune)
+
+    p_ooc = sub.add_parser(
+        "ooc", help="out-of-core training: spool -> block-at-a-time K-hop "
+                    "propagate -> minibatch train (papers100M ladder)"
+    )
+    _add_model_flags(p_ooc)
+    _add_training_flags(p_ooc)
+    p_ooc.add_argument("--edges", required=True,
+                       help="int64 .npy [2, E] edge file (memory-mapped)")
+    p_ooc.add_argument("--features", required=True,
+                       help="f32 .npy [N, F] feature file (memory-mapped)")
+    p_ooc.add_argument("--labels", required=True,
+                       help="int64 .npy [N] label file")
+    p_ooc.add_argument("--work_dir", required=True,
+                       help="spool + hop-directory root (doubles as the "
+                            "precompute checkpoint; reruns skip done work)")
+    p_ooc.add_argument("--num_shards", type=int, default=8)
+    p_ooc.add_argument("--train_idx", default=None, help=".npy index file")
+    p_ooc.add_argument("--val_idx", default=None)
+    p_ooc.add_argument("--test_idx", default=None)
+    p_ooc.add_argument("--verbose", action="store_true")
+    p_ooc.set_defaults(fn=cmd_ooc)
 
     p_bench = sub.add_parser("bench", help="K-hop SpMM precompute benchmark")
     p_bench.add_argument("--nodes", type=int, default=169_343)

@@ -1,0 +1,305 @@
+"""Out-of-core node classification: train a precompute model over hop
+directories produced by block-at-a-time propagation.
+
+This is the task-level integration of the papers100M ladder (SURVEY.md §7
+hard parts): neither the feature matrix nor any per-hop feature matrix is
+ever materialized in memory. The flow is
+
+1. ``data.streaming.stream_partition`` — two disk passes spool the
+   sym-normalized adjacency into per-destination-block files (O(N) memory);
+2. ``parallel.outofcore.outofcore_propagate`` — K hops block-at-a-time,
+   writing ``hop<h>/block<i>.npy`` files (O(block·F) device memory);
+3. this module — minibatch training of any sym-norm precompute model
+   (sgc/ssgc/sign/gbp/gamlp/nafs) where each batch's hop stack
+   ``[K+1, B, F]`` is gathered from the hop directories with
+   ``load_hop_rows`` (memory-mapped row gather), so host memory stays
+   O(B·K·F) regardless of N.
+
+The hop directories double as the precompute checkpoint (the reference
+family's real "checkpoint" is the propagated-feature artifact, SURVEY.md §5):
+re-running with the same ``work_dir`` skips both disk passes and propagation.
+
+Reference parity: the training protocol is the reference's
+``tasks/node_classification.py`` best-val→test loop with mini-batching
+(``node_cls_mini_batch_train``, ``tasks/utils.py:144-161``); the reference
+itself has no out-of-core path (its papers100M mention is aspirational) —
+this is the TPU-native scaling layer it lacks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+from ssrg_tpu.data.streaming import StreamingGraphMeta, stream_partition
+from ssrg_tpu.logger import get_logger
+from ssrg_tpu.models.zoo import ModelSpec, load_model
+from ssrg_tpu.parallel.outofcore import load_hop_rows, outofcore_propagate
+from ssrg_tpu.train.common import (
+    batch_iterator,
+    create_train_state,
+    cross_entropy_loss,
+    seed_everything,
+    split_labels,
+)
+
+META_FILE = "streaming_meta.json"
+
+
+def save_meta(meta: StreamingGraphMeta, work_dir: str) -> str:
+    path = osp.join(work_dir, META_FILE)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "num_nodes": meta.num_nodes,
+                "num_edges": meta.num_edges,
+                "block": meta.block,
+                "num_shards": meta.num_shards,
+                "spool_dir": meta.spool_dir,
+            },
+            f,
+        )
+    return path
+
+
+def load_meta(work_dir: str) -> StreamingGraphMeta:
+    with open(osp.join(work_dir, META_FILE)) as f:
+        d = json.load(f)
+    return StreamingGraphMeta(**d)
+
+
+def ensure_spooled(
+    edges_path: str,
+    num_nodes: int,
+    num_shards: int,
+    work_dir: str,
+    r: float = 0.5,
+) -> StreamingGraphMeta:
+    """Spool the normalized adjacency unless ``work_dir`` already holds a
+    matching spool (the artifact-as-checkpoint idiom)."""
+    os.makedirs(work_dir, exist_ok=True)
+    meta_path = osp.join(work_dir, META_FILE)
+    if osp.exists(meta_path):
+        meta = load_meta(work_dir)
+        if meta.num_nodes == num_nodes and meta.num_shards == num_shards:
+            return meta
+    meta = stream_partition(
+        edges_path, num_nodes, num_shards, osp.join(work_dir, "spool"), r=r
+    )
+    save_meta(meta, work_dir)
+    return meta
+
+
+def ensure_hops(
+    meta: StreamingGraphMeta,
+    features_path: str,
+    prop_steps: int,
+    work_dir: str,
+    verbose: bool = False,
+) -> List[str]:
+    """Run out-of-core propagation unless every hop block already exists."""
+    hop_dirs = [osp.join(work_dir, f"hop{h}") for h in range(prop_steps + 1)]
+    complete = all(
+        osp.exists(osp.join(d, f"block{i}.npy"))
+        for d in hop_dirs
+        for i in range(meta.num_shards)
+    )
+    if complete:
+        return hop_dirs
+    return outofcore_propagate(
+        meta, features_path, prop_steps, work_dir, verbose=verbose
+    )
+
+
+@dataclass
+class OOCResult:
+    best_val: float
+    best_test: float
+    hop_dirs: List[str]
+    meta: StreamingGraphMeta
+
+
+def _supported_spec(spec: ModelSpec, use_bn: bool) -> None:
+    if spec.naive or spec.spectral or spec.graph_op != "sym":
+        raise ValueError(
+            f"out-of-core training supports sym-norm precompute models "
+            f"(sgc/ssgc/sign/gbp/gamlp/nafs); got {spec.name!r} "
+            f"(graph_op={spec.graph_op!r}, naive={spec.naive}, "
+            f"spectral={spec.spectral})"
+        )
+    if spec.module.msg_op is None:
+        raise ValueError(f"model {spec.name!r} has no hop-stack message op")
+    if use_bn:
+        raise ValueError("use_bn is not supported on the out-of-core path")
+
+
+class OutOfCoreNodeClassification:
+    """Minibatch best-val→test trainer over on-disk hop directories.
+
+    Every batch is gathered from disk (`load_hop_rows`), stacked to
+    ``[K+1, B, F]`` and fed through the model's own message op + head, so the
+    learnable aggregators (sign/gamlp) work unchanged.
+    """
+
+    def __init__(
+        self,
+        meta: StreamingGraphMeta,
+        hop_dirs: List[str],
+        labels: np.ndarray,
+        train_idx: np.ndarray,
+        val_idx: np.ndarray,
+        test_idx: np.ndarray,
+        model_cfg: Optional[ModelConfig] = None,
+        train_cfg: Optional[TrainingConfig] = None,
+    ) -> None:
+        self.meta = meta
+        self.hop_dirs = list(hop_dirs)
+        self.labels = np.asarray(labels, np.int64)
+        self.train_idx = np.asarray(train_idx, np.int64)
+        self.val_idx = np.asarray(val_idx, np.int64)
+        self.test_idx = np.asarray(test_idx, np.int64)
+        self.mcfg = model_cfg or ModelConfig()
+        self.tcfg = train_cfg or TrainingConfig()
+        f_dim = int(
+            np.load(
+                osp.join(hop_dirs[0], "block0.npy"), mmap_mode="r"
+            ).shape[1]
+        )
+        self.num_classes = int(self.labels.max()) + 1
+        # the hop stack carries prop_steps+1 entries; the spec's msg op was
+        # built for mcfg.prop_steps — keep them consistent
+        if len(hop_dirs) != self.mcfg.prop_steps + 1:
+            raise ValueError(
+                f"hop_dirs has {len(hop_dirs)} entries but "
+                f"model prop_steps={self.mcfg.prop_steps}"
+            )
+        self.spec = load_model(self.mcfg, f_dim, self.num_classes)
+        _supported_spec(self.spec, self.mcfg.use_bn)
+        self.feat_dim = f_dim
+
+    def _stack(self, idx: np.ndarray) -> np.ndarray:
+        """Gather one batch's hop stack [K+1, B, F] from disk."""
+        return np.stack(
+            [load_hop_rows(d, self.meta, idx) for d in self.hop_dirs], axis=0
+        )
+
+    def execute(self, seed: Optional[int] = None) -> Tuple[float, float]:
+        import jax.numpy as jnp
+
+        tcfg = self.tcfg
+        seed = tcfg.seed if seed is None else seed
+        rng_key = seed_everything(seed)
+        nprng = np.random.default_rng(seed)
+        batch = int(tcfg.train_batch_size or 512)
+        module = self.spec.module
+
+        example = jnp.zeros(
+            (len(self.hop_dirs), batch, self.feat_dim), jnp.float32
+        )
+        state = create_train_state(
+            module, rng_key, example, tcfg.lr, tcfg.weight_decay,
+            warmup_epochs=tcfg.warmup_epochs,
+        )
+
+        @jax.jit
+        def train_step(state, hops, labels, weights, rng):
+            def loss_fn(params):
+                logits = state.apply_fn(
+                    {"params": params}, hops, train=True,
+                    rngs={"dropout": rng},
+                )
+                return cross_entropy_loss(logits, labels, weights)
+
+            grads = jax.grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads)
+
+        @jax.jit
+        def eval_step(state, hops, labels, weights):
+            logits = state.apply_fn({"params": state.params}, hops,
+                                    train=False)
+            hit = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            return (hit * weights).sum()
+
+        def eval_split(idx: np.ndarray) -> float:
+            correct = 0.0
+            for b, w in batch_iterator(idx, batch, nprng, shuffle=False):
+                correct += float(
+                    eval_step(
+                        state,
+                        jnp.asarray(self._stack(b)),
+                        jnp.asarray(self.labels[b]),
+                        jnp.asarray(w),
+                    )
+                )
+            return correct / max(idx.shape[0], 1)
+
+        best_val = best_test = 0.0
+        log = get_logger()
+        for epoch in range(tcfg.num_epochs):
+            rng_key, ep_key = jax.random.split(rng_key)
+            for b, w in batch_iterator(self.train_idx, batch, nprng):
+                state = train_step(
+                    state,
+                    jnp.asarray(self._stack(b)),
+                    jnp.asarray(self.labels[b]),
+                    jnp.asarray(w),
+                    ep_key,
+                )
+            val = eval_split(self.val_idx)
+            if val >= best_val:
+                best_val = val
+                best_test = eval_split(self.test_idx)
+            if (epoch + 1) % 10 == 0:
+                log.info(
+                    "ooc epoch %d: val %.4f (best %.4f test %.4f)",
+                    epoch + 1, val, best_val, best_test,
+                )
+        self.state = state
+        return best_val, best_test
+
+
+def run_outofcore(
+    edges_path: str,
+    features_path: str,
+    labels_path: str,
+    work_dir: str,
+    num_shards: int = 8,
+    model_cfg: Optional[ModelConfig] = None,
+    train_cfg: Optional[TrainingConfig] = None,
+    train_idx: Optional[np.ndarray] = None,
+    val_idx: Optional[np.ndarray] = None,
+    test_idx: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> OOCResult:
+    """End-to-end out-of-core pipeline: spool → propagate → train.
+
+    ``labels_path`` is an int64 ``.npy`` of shape [N]. Splits default to the
+    class-balanced random protocol (``split_labels``) when not given.
+    """
+    mcfg = model_cfg or ModelConfig()
+    tcfg = train_cfg or TrainingConfig()
+    labels = np.load(labels_path)
+    num_nodes = labels.shape[0]
+    meta = ensure_spooled(edges_path, num_nodes, num_shards, work_dir, mcfg.r)
+    hop_dirs = ensure_hops(
+        meta, features_path, mcfg.prop_steps, work_dir, verbose=verbose
+    )
+    if train_idx is None:
+        train_idx, val_idx, test_idx = split_labels(
+            labels,
+            num_val=max(num_nodes // 10, 10),
+            num_test=max(num_nodes // 5, 10),
+            seed=tcfg.seed,
+        )
+    task = OutOfCoreNodeClassification(
+        meta, hop_dirs, labels, train_idx, val_idx, test_idx, mcfg, tcfg
+    )
+    best_val, best_test = task.execute()
+    return OOCResult(best_val, best_test, hop_dirs, meta)
