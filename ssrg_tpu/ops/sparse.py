@@ -621,4 +621,8 @@ def device_adjacency(
         from ssrg_tpu.ops.pallas_spmm import build_pallas_csr
 
         return build_pallas_csr(adj, **kwargs)
+    if engine == "pallas_banded":
+        from ssrg_tpu.ops.pallas_banded import build_pallas_banded
+
+        return build_pallas_banded(adj, **kwargs)
     raise ValueError(f"unknown spmm engine: {engine!r}")
