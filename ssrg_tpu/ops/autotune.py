@@ -49,7 +49,7 @@ def autotune_engine(
     adj: sp.spmatrix,
     feature_dim: int,
     candidates: Sequence[str] = (
-        "dense", "coo", "ell", "hybrid", "banded", "tiled",
+        "dense", "coo", "ell", "hybrid", "banded", "tiled", "pallas_banded",
     ),
     reps: int = 8,
     dense_limit: int = 16384,
@@ -73,9 +73,11 @@ def autotune_engine(
     for name in candidates:
         if name == "dense" and adj.shape[0] > dense_limit:
             continue
+        if name == "pallas_banded" and jax.default_backend() == "cpu":
+            continue  # interpret mode: correct but not a meaningful timing
         kwargs = (
             {"mem_budget_bytes": dense_block_budget_bytes}
-            if name in ("banded", "tiled") else {}
+            if name in ("banded", "tiled", "pallas_banded") else {}
         )
         try:
             adj_dev = device_adjacency(adj, name, **kwargs)

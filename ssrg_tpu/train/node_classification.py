@@ -139,10 +139,17 @@ def prepare(
         adj_p, x_p, _, inverse = apply_permutation(
             adj_norm, perm, np.asarray(dataset.x)
         )
+        # same banded storage, two execution strategies: the window-DMA
+        # Pallas kernel measured 1.57x the XLA dynamic-slice scan on the
+        # chip (benchmarks/banded_kernel_bench.py); interpret mode on CPU
+        # is correct but slow, so CPU keeps the XLA engine
+        banded_engine = (
+            "banded" if jax.default_backend() == "cpu" else "pallas_banded"
+        )
         try:
             hops_p = cached_propagate(
                 adj_p, x_p, spec.prop_steps,
-                training_cfg.cache_dir, "banded",
+                training_cfg.cache_dir, banded_engine,
                 tag=f"{spec.graph_op}:{model_cfg.r}:rcm",
             )
             hops = jnp.take(hops_p, jnp.asarray(inverse), axis=1)

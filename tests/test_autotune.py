@@ -66,3 +66,17 @@ def test_autotune_respects_dense_block_budget():
     )
     assert "banded" not in timings
     assert best == "coo"
+
+
+def test_autotune_clustered_graph_includes_tiled():
+    """On a community-clustered graph the tiled candidate must be viable
+    (build succeeds within the autotune budget and gets timed); TPU-side
+    selection is measured by benchmarks/autotune_clustered_bench.py."""
+    import sys
+    sys.path.insert(0, "benchmarks")
+    from autotune_clustered_bench import clustered_graph
+
+    adj = clustered_graph(n=4096)
+    best, timings = autotune_engine(adj, 32, reps=2)
+    assert "tiled" in timings
+    assert best in timings
