@@ -314,15 +314,20 @@ class BaselineTask:
             train_mask[np.asarray(self.dataset.train_idx)] = 1.0
             train_mask_dev = jnp.asarray(train_mask)
 
+            # full-graph inputs/labels/mask ride through jit as ARGUMENTS
+            # (partial-bound) like train_step above — closure capture would
+            # inline them as HLO constants (Reddit-scale compile bloat /
+            # remote-compile 413s)
             @jax.jit
-            def cluster_step(state, node_ids, valid, adj_dev, rng):
+            def cluster_step(inputs, labels, train_mask, state, node_ids,
+                             valid, adj_dev, rng):
                 def loss_fn(params):
                     out, new_bs = self._apply(
-                        params, state.batch_stats, self.inputs[node_ids],
+                        params, state.batch_stats, inputs[node_ids],
                         adj_dev, True, rng,
                     )
-                    w = valid * train_mask_dev[node_ids]
-                    loss = cross_entropy_loss(out, self.labels[node_ids], w)
+                    w = valid * train_mask[node_ids]
+                    loss = cross_entropy_loss(out, labels[node_ids], w)
                     return loss, new_bs
 
                 (loss, new_bs), grads = jax.value_and_grad(
@@ -332,6 +337,11 @@ class BaselineTask:
                 if new_bs is not None:
                     state = state.replace(batch_stats=new_bs)
                 return state, loss
+
+            self._cluster_step_impl = cluster_step  # regression hook (tests)
+            cluster_step = partial(
+                cluster_step, self.inputs, self.labels, train_mask_dev
+            )
 
         for epoch in range(cfg.num_epochs):
             rng, step_rng = jax.random.split(rng)

@@ -242,15 +242,25 @@ class OutOfCoreNodeClassification:
 
         best_val = best_test = 0.0
         log = get_logger()
+        self.epoch0_batch_keys: List[tuple] = []  # regression hook (tests)
         for epoch in range(tcfg.num_epochs):
             rng_key, ep_key = jax.random.split(rng_key)
-            for b, w in batch_iterator(self.train_idx, batch, nprng):
+            for bi, (b, w) in enumerate(
+                batch_iterator(self.train_idx, batch, nprng)
+            ):
+                # distinct dropout key per batch: reusing ep_key would drop
+                # the SAME units for every minibatch in the epoch
+                batch_key = jax.random.fold_in(ep_key, bi)
+                if epoch == 0:
+                    self.epoch0_batch_keys.append(
+                        tuple(np.asarray(jax.random.key_data(batch_key)))
+                    )
                 state = train_step(
                     state,
                     jnp.asarray(self._stack(b)),
                     jnp.asarray(self.labels[b]),
                     jnp.asarray(w),
-                    ep_key,
+                    batch_key,
                 )
             val = eval_split(self.val_idx)
             if val >= best_val:

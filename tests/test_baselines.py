@@ -154,3 +154,35 @@ def test_cluster_minibatch_rejects_precompute_models():
         BaselineTask(
             ds, "sgc", TrainingConfig(num_epochs=1), cluster_parts=4, run=False,
         )
+
+
+def test_cluster_step_has_no_large_constants(dataset):
+    """Regression (round-2 verdict weak #3): the cluster train step must take
+    the full-graph inputs/labels/train-mask as jit ARGUMENTS, never closure
+    captures — captured device arrays inline into the HLO as constants
+    (compile bloat; remote-compile HTTP 413 at Reddit scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = TrainingConfig(num_epochs=1, lr=0.01, seed=1)
+    task = BaselineTask(
+        dataset, "gcn", cfg, hidden_dim=48, dropout=0.3,
+        cluster_parts=8, parts_per_batch=2,
+    )
+    impl = task._cluster_step_impl
+    cb = task.cluster_batches[0]
+    rng = jax.random.PRNGKey(0)
+    state = task._init_state(rng)
+    train_mask = jnp.zeros(task.dataset.num_node, jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda *a: impl(*a)
+    )(task.inputs, task.labels, train_mask, state, cb.node_ids, cb.valid,
+      cb.adj_dev, rng)
+    const_bytes = sum(
+        np.asarray(c).nbytes for c in jaxpr.consts
+        if hasattr(c, "nbytes") or isinstance(c, (np.ndarray,))
+    )
+    assert const_bytes < 4096, (
+        f"cluster_step jaxpr carries {const_bytes} B of constants — "
+        "a device array is being closure-captured"
+    )
