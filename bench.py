@@ -70,10 +70,13 @@ def _attempt(force_cpu: bool):
 
 def main() -> int:
     result, reason = _attempt(force_cpu=False)
-    if result is None:
+    if result is not None:
+        result["attempt"] = 1
+    else:
         fallback, fb_reason = _attempt(force_cpu=True)
         if fallback is not None:
             fallback["fallback_reason"] = reason
+            fallback["attempt"] = 2
             result = fallback
         else:
             print(json.dumps({

@@ -139,6 +139,18 @@ def device_edges_per_s(
 
     from ssrg_tpu.ops.sparse import device_adjacency
 
+    # Phase 0 — relay warmup. Measured (round 3): through the tunneled
+    # backend the FIRST execution in a process stalls 1-9 minutes (device
+    # claim / session setup), regardless of program size, while real XLA
+    # compiles take <1 s and later first-executions of NEW programs take
+    # ~30 ms. The round-2 bench attributed that stall to compilation
+    # ("compile_warm_s: 655") and the persistent compile cache could never
+    # remove it. Absorb it here on a trivial program so the phases below
+    # time what they claim to time.
+    t_warm = time.perf_counter()
+    _ = np.asarray(jax.jit(lambda v: (v * 2.0).sum())(jnp.ones((8, 8))))
+    warmup_s = time.perf_counter() - t_warm
+
     t_build = time.perf_counter()
     adj_dev = device_adjacency(adj, engine)
     if x is not None:
@@ -162,15 +174,30 @@ def device_edges_per_s(
         # tiny, data-dependent output: forces the whole chain to execute
         return out[0, :2] + out[-1, :2]
 
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n_cache_before = (
+        len(os.listdir(cache_dir))
+        if cache_dir and os.path.isdir(cache_dir) else None
+    )
     t_compile = time.perf_counter()
-    _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))  # compile + warm
+    compiled = many_hops.lower(adj_dev, x_dev, hops=total_hops).compile()
+    t_exec1 = time.perf_counter()
+    _ = np.asarray(compiled(adj_dev, x_dev))  # load + warm the executable
     t0 = time.perf_counter()
-    _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))
+    _ = np.asarray(compiled(adj_dev, x_dev))
     dt = time.perf_counter() - t0
     if diag is not None:
+        diag["relay_warmup_s"] = round(warmup_s, 2)
         diag["build_transfer_s"] = round(t_compile - t_build, 2)
+        diag["xla_compile_s"] = round(t_exec1 - t_compile, 2)
+        diag["first_exec_s"] = round(t0 - t_exec1, 2)
+        # continuity with BENCH_r01/r02: compile+warm of the measured program
         diag["compile_warm_s"] = round(t0 - t_compile, 2)
         diag["measure_s"] = round(dt, 2)
+        if n_cache_before is not None:
+            n_after = len(os.listdir(cache_dir))
+            diag["persistent_cache_new_entries"] = n_after - n_cache_before
+            diag["persistent_cache_hit"] = n_after == n_cache_before
         diag["device"] = jax.devices()[0].platform
     return total_hops * adj.nnz / dt
 
