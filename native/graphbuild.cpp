@@ -202,6 +202,64 @@ void edge_degree_accumulate(const int64_t* src, const int64_t* dst, int64_t e,
   }
 }
 
+// Synchronous label-propagation clustering (LPA) over an undirected CSR —
+// the METIS-free community detector behind the tiled (BSR) engine's
+// cluster reordering (ssrg_tpu/ops/reorder.py). Each sweep assigns every
+// node the most frequent label among its neighbors (ties -> smallest
+// label), reading the PREVIOUS sweep's labels: synchronous updates are
+// deterministic, parallelize without races, and — unlike asynchronous
+// in-place LPA — cannot let one label cascade across the whole graph in a
+// single sweep (measured: async collapsed an 8-block SBM into 2 labels).
+// Stops early when fewer than n/1000 + 1 labels change (a synchronous
+// 2-cycle oscillation also stops: max_sweeps caps it). Returns the number
+// of sweeps performed. Role analog: the reference's ClusterData/METIS
+// partitioning feeding ClusterLoader (/root/reference/main.py:29-30) —
+// here the cluster order feeds build_tiled's dense-tile packing instead
+// of minibatching.
+int64_t lpa_cluster(const int32_t* indptr, const int32_t* indices, int64_t n,
+                    int32_t max_sweeps, int32_t* labels) {
+#pragma omp parallel for schedule(static)
+  for (int64_t v = 0; v < n; ++v) labels[v] = static_cast<int32_t>(v);
+  std::vector<int32_t> prev(n);
+  int64_t sweep = 0;
+  for (; sweep < max_sweeps; ++sweep) {
+    std::memcpy(prev.data(), labels, sizeof(int32_t) * n);
+    std::atomic<int64_t> changed{0};
+#pragma omp parallel
+    {
+      std::vector<int32_t> nl;
+      int64_t local_changed = 0;
+#pragma omp for schedule(dynamic, 4096) nowait
+      for (int64_t v = 0; v < n; ++v) {
+        const int32_t lo = indptr[v], hi = indptr[v + 1];
+        if (hi == lo) continue;
+        nl.resize(hi - lo);
+        for (int32_t j = lo; j < hi; ++j) nl[j - lo] = prev[indices[j]];
+        std::sort(nl.begin(), nl.end());
+        int32_t best = nl[0];
+        int32_t best_c = 1, cur_c = 1;
+        for (size_t k = 1; k < nl.size(); ++k) {
+          cur_c = (nl[k] == nl[k - 1]) ? cur_c + 1 : 1;
+          if (cur_c > best_c) {
+            best_c = cur_c;
+            best = nl[k];
+          }
+        }
+        if (best != prev[v]) {
+          labels[v] = best;
+          ++local_changed;
+        }
+      }
+      changed.fetch_add(local_changed, std::memory_order_relaxed);
+    }
+    if (changed.load() <= n / 1000) {
+      ++sweep;
+      break;
+    }
+  }
+  return sweep;
+}
+
 int omp_max_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

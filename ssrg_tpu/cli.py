@@ -52,7 +52,7 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--train_batch_size", type=int, default=None)
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--spmm_engine", default="auto",
-                   help="auto|dense|coo|ell|hybrid|banded|reorder_banded|pallas|autotune")
+                   help="auto|dense|coo|ell|hybrid|banded|tiled|reorder_banded|reorder_tiled|pallas|pallas_banded|autotune")
     p.add_argument("--scan_epochs", action="store_true",
                    help="run all epochs inside one jitted lax.scan "
                         "(single dispatch; full-batch, BN-free runs)")
@@ -269,7 +269,7 @@ def cmd_gwnn(args) -> int:
     # the GWNN path builds device adjacencies directly: meta-engines that
     # need the precompute pipeline resolve to auto here
     engine = args.spmm_engine
-    if engine in ("autotune", "reorder_banded"):
+    if engine in ("autotune", "reorder_banded", "reorder_tiled"):
         engine = "auto"
     sparsifier = WaveletSparsifier(
         adj, cfg.scale, cfg.approximation_order, cfg.tolerance,

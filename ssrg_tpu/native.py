@@ -87,6 +87,10 @@ def load_library() -> Optional[ctypes.CDLL]:
             _i64, _i64, ctypes.c_int64, _i64,
         ]
         lib.edge_degree_accumulate.restype = None
+        lib.lpa_cluster.argtypes = [
+            _i32, _i32, ctypes.c_int64, ctypes.c_int32, _i32,
+        ]
+        lib.lpa_cluster.restype = ctypes.c_int64
         lib.omp_max_threads.restype = ctypes.c_int
         _lib = lib
     except (OSError, AttributeError):
@@ -182,6 +186,50 @@ def sym_norm_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     right[~np.isfinite(right)] = 0.0
     rows_of = np.repeat(np.arange(n), np.diff(indptr))
     return (left[rows_of] * data * right[indices]).astype(np.float32)
+
+
+def lpa_cluster(
+    indptr: np.ndarray, indices: np.ndarray, max_sweeps: int = 20,
+) -> np.ndarray:
+    """Label-propagation community labels over an undirected CSR (int32 [N]).
+
+    Native path: asynchronous in-place sweeps (OMP). Fallback: vectorized
+    numpy SYNCHRONOUS sweeps (mode of neighbor labels via lexsort +
+    run-length encoding) — same fixed points on community graphs, may need a
+    couple more sweeps. Role analog of the reference's ClusterData/METIS
+    partitioning (``/root/reference/main.py:29-30``)."""
+    n = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    lib = load_library()
+    if lib is not None:
+        labels = np.empty(n, np.int32)
+        lib.lpa_cluster(indptr, indices, n, int(max_sweeps), labels)
+        return labels
+    labels = np.arange(n, dtype=np.int32)
+    if indices.size == 0:
+        return labels
+    rows_of = np.repeat(np.arange(n), np.diff(indptr))
+    for _ in range(max_sweeps):
+        nl = labels[indices]
+        order = np.lexsort((nl, rows_of))
+        r, lab = rows_of[order], nl[order]
+        grp_start = np.empty(r.size, bool)
+        grp_start[0] = True
+        grp_start[1:] = (r[1:] != r[:-1]) | (lab[1:] != lab[:-1])
+        starts = np.flatnonzero(grp_start)
+        counts = np.diff(np.append(starts, r.size))
+        gr, gl = r[starts], lab[starts]
+        # per row: most frequent label, ties -> smallest label
+        o2 = np.lexsort((gl, -counts, gr))
+        _, first = np.unique(gr[o2], return_index=True)
+        new = labels.copy()
+        new[gr[o2][first]] = gl[o2][first]
+        changed = int(np.count_nonzero(new != labels))
+        labels = new
+        if changed <= n // 1000:
+            break
+    return labels
 
 
 def ell_hybrid_pack(

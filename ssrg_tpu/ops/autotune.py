@@ -50,6 +50,7 @@ def autotune_engine(
     feature_dim: int,
     candidates: Sequence[str] = (
         "dense", "coo", "ell", "hybrid", "banded", "tiled", "pallas_banded",
+        "reorder_banded", "reorder_tiled",
     ),
     reps: int = 8,
     dense_limit: int = 16384,
@@ -77,10 +78,28 @@ def autotune_engine(
             continue  # interpret mode: correct but not a meaningful timing
         kwargs = (
             {"mem_budget_bytes": dense_block_budget_bytes}
-            if name in ("banded", "tiled", "pallas_banded") else {}
+            if name in ("banded", "tiled", "pallas_banded",
+                        "reorder_banded", "reorder_tiled") else {}
         )
         try:
-            adj_dev = device_adjacency(adj, name, **kwargs)
+            if name in ("reorder_banded", "reorder_tiled"):
+                # meta-engines: time the dense-block engine on the REORDERED
+                # graph (hop cost is permutation-invariant; prepare() redoes
+                # the cheap O(E) permutation and un-permutes the hop stack)
+                from ssrg_tpu.ops.reorder import (
+                    apply_permutation, reorder_permutation,
+                )
+
+                method = "rcm" if name == "reorder_banded" else "cluster"
+                base = "banded" if name == "reorder_banded" else "tiled"
+                if base == "banded" and jax.default_backend() != "cpu":
+                    base = "pallas_banded"
+                adj_p, _, _, _ = apply_permutation(
+                    adj, reorder_permutation(adj, method)
+                )
+                adj_dev = device_adjacency(adj_p, base, **kwargs)
+            else:
+                adj_dev = device_adjacency(adj, name, **kwargs)
             timings[name] = _time_engine(adj_dev, x, reps)
         except Exception as exc:  # engine not viable for this graph
             if verbose:

@@ -79,9 +79,12 @@ def prepare(
         from ssrg_tpu.ops.autotune import autotune_engine
 
         engine, _ = autotune_engine(dataset.adj, x.shape[1])
-    # reorder_banded applies to the hop-precompute path only (the reorder is
-    # undone on the hop stack); naive/spectral/tuple paths fall back to auto
-    basic_engine = "auto" if engine == "reorder_banded" else engine
+    # the reorder meta-engines apply to the hop-precompute path only (the
+    # reorder is undone on the hop stack); naive/spectral/tuple paths fall
+    # back to auto
+    basic_engine = (
+        "auto" if engine in ("reorder_banded", "reorder_tiled") else engine
+    )
 
     if spec.spectral:
         from ssrg_tpu.models.wavelet import prepare_spectral
@@ -129,35 +132,42 @@ def prepare(
                         engine=basic_engine)
     from ssrg_tpu.cache import cached_propagate
 
-    if engine == "reorder_banded":
-        # RCM-reorder to make the adjacency banded, propagate on the MXU
-        # banded engine, un-permute the hop stack back to original node
-        # order (downstream slicing/splits are unaffected).
+    if engine in ("reorder_banded", "reorder_tiled"):
+        # Locality meta-engines: renumber nodes so the adjacency becomes
+        # banded (RCM) or cluster-diagonal (label-propagation communities),
+        # propagate on the corresponding dense-block MXU engine, and
+        # un-permute the hop stack back to original node order (downstream
+        # slicing/splits are unaffected).
         from ssrg_tpu.ops.reorder import apply_permutation, reorder_permutation
 
-        perm = reorder_permutation(adj_norm, "rcm")
+        if engine == "reorder_banded":
+            # same banded storage, two execution strategies: the window-DMA
+            # Pallas kernel measured 1.57x the XLA dynamic-slice scan on the
+            # chip (benchmarks/banded_kernel_bench.py); interpret mode on CPU
+            # is correct but slow, so CPU keeps the XLA engine
+            method = "rcm"
+            dense_engine = (
+                "banded" if jax.default_backend() == "cpu" else "pallas_banded"
+            )
+        else:
+            method = "cluster"
+            dense_engine = "tiled"
+        perm = reorder_permutation(adj_norm, method)
         adj_p, x_p, _, inverse = apply_permutation(
             adj_norm, perm, np.asarray(dataset.x)
-        )
-        # same banded storage, two execution strategies: the window-DMA
-        # Pallas kernel measured 1.57x the XLA dynamic-slice scan on the
-        # chip (benchmarks/banded_kernel_bench.py); interpret mode on CPU
-        # is correct but slow, so CPU keeps the XLA engine
-        banded_engine = (
-            "banded" if jax.default_backend() == "cpu" else "pallas_banded"
         )
         try:
             hops_p = cached_propagate(
                 adj_p, x_p, spec.prop_steps,
-                training_cfg.cache_dir, banded_engine,
-                tag=f"{spec.graph_op}:{model_cfg.r}:rcm",
+                training_cfg.cache_dir, dense_engine,
+                tag=f"{spec.graph_op}:{model_cfg.r}:{method}",
             )
             hops = jnp.take(hops_p, jnp.asarray(inverse), axis=1)
         except ValueError as exc:
             from ssrg_tpu.logger import get_logger
 
             get_logger().warning(
-                "reorder_banded fell back to hybrid: %s", exc
+                "%s fell back to hybrid: %s", engine, exc
             )
             hops = cached_propagate(
                 adj_norm, np.asarray(dataset.x), spec.prop_steps,
@@ -622,7 +632,7 @@ class NodeClassification:
         probs = jax.nn.softmax(logits, axis=1)
         post_adj = GRAPH_OPS[self.post_graph_op](self.dataset.adj, self.model_cfg)
         # p.engine is the RESOLVED engine: cfg.spmm_engine may be a
-        # meta-engine ("autotune"/"reorder_banded") that device_adjacency
+        # meta-engine ("autotune"/"reorder_banded"/"reorder_tiled") that device_adjacency
         # does not accept
         post_dev = device_adjacency(post_adj, p.engine)
         hops = propagate(post_dev, probs, self.spec.prop_steps)

@@ -80,3 +80,20 @@ def test_autotune_clustered_graph_includes_tiled():
     best, timings = autotune_engine(adj, 32, reps=2)
     assert "tiled" in timings
     assert best in timings
+
+
+def test_autotune_times_reorder_meta_engines():
+    """The reorder meta-engines are autotune candidates: on a scrambled
+    community graph reorder_tiled must be timed (the clustering makes the
+    tiled pack viable) and whatever wins must be a name prepare() accepts."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_sddmm_reorder import _scrambled_clustered_graph
+
+    adj, _, _ = _scrambled_clustered_graph()
+    best, timings = autotune_engine(
+        adj, 16, reps=2,
+        candidates=("hybrid", "reorder_tiled", "reorder_banded"),
+    )
+    assert "reorder_tiled" in timings
+    assert best in timings

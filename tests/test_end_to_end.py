@@ -207,3 +207,29 @@ def test_scan_epochs_naive_gcn_full_graph(dataset):
     spec = load_model(mc, dataset.num_features, dataset.num_classes)
     task = NodeClassification(dataset, spec, mc, tc)
     assert task.best_test > 0.7
+
+
+def test_reorder_tiled_engine_trains(dataset):
+    """spmm_engine='reorder_tiled': LPA cluster reorder + tiled MXU
+    precompute, un-permuted hops; same accuracy band as the default."""
+    mc = ModelConfig(model_name="sgc", prop_steps=3)
+    tc = TrainingConfig(num_epochs=60, lr=0.05, spmm_engine="reorder_tiled")
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    assert task.best_test > 0.85
+
+
+def test_reorder_tiled_prepare_matches_default_hops(dataset):
+    """Full meta-engine path through prepare(): the un-permuted hop stack
+    must equal the hybrid-engine hop stack exactly (same adjacency math,
+    different storage + node order)."""
+    from ssrg_tpu.train.node_classification import prepare
+
+    mc = ModelConfig(model_name="gamlp", prop_steps=3)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    ref = prepare(spec, dataset, mc, TrainingConfig(spmm_engine="hybrid"))
+    got = prepare(spec, dataset, mc, TrainingConfig(spmm_engine="reorder_tiled"))
+    assert ref.hops_layout and got.hops_layout
+    np.testing.assert_allclose(
+        np.asarray(got.inputs), np.asarray(ref.inputs), rtol=2e-4, atol=2e-4
+    )

@@ -85,3 +85,76 @@ def test_rcm_reduces_bandwidth_on_path_graph():
     adj2, _, _, _ = apply_permutation(adj, perm)
     after = bandwidth(adj2)
     assert after <= 2 and before > 10
+
+
+def _scrambled_clustered_graph(n=4096, comm=128, intra_deg=10, inter_deg=1,
+                               seed=5):
+    """Community graph whose node ids are SHUFFLED — the raw input the
+    cluster reorder must undo."""
+    rng = np.random.default_rng(seed)
+    base = (np.arange(n) // comm) * comm
+    r_in = np.repeat(np.arange(n), intra_deg)
+    c_in = base[r_in] + rng.integers(0, comm, r_in.shape)
+    r_out = np.repeat(np.arange(n), inter_deg)
+    c_out = rng.integers(0, n, r_out.shape)
+    r = np.concatenate([r_in, r_out])
+    c = np.concatenate([c_in, c_out])
+    keep = r != c
+    shuf = rng.permutation(n)
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
+        shape=(n, n),
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = 1.0
+    return adj, shuf, (np.arange(n) // comm)
+
+
+def test_cluster_permutation_recovers_communities():
+    """LPA cluster labels must match the planted communities (purity ≈ 1)
+    and the native OMP path must agree with the numpy fallback exactly
+    (both are synchronous sweeps with ties → smallest label)."""
+    import ssrg_tpu.native as native
+
+    adj, shuf, comm_of = _scrambled_clustered_graph()
+    true = np.empty(adj.shape[0], np.int64)
+    true[shuf] = comm_of  # planted community of each (shuffled) node id
+    labels = native.lpa_cluster(adj.indptr, adj.indices)
+    # purity: each LPA cluster maps to one planted community
+    purity = 0
+    for l in np.unique(labels):
+        members = true[labels == l]
+        purity += np.bincount(members).max()
+    assert purity / adj.shape[0] > 0.95
+    # fallback agreement
+    saved, native._lib, native._load_attempted = native._lib, None, True
+    try:
+        labels_np = native.lpa_cluster(adj.indptr, adj.indices)
+    finally:
+        native._lib, native._load_attempted = saved, True
+    assert np.array_equal(labels, labels_np)
+
+
+def test_cluster_reorder_enables_tiled_engine():
+    """Raw (shuffled) layout must REFUSE the tiled pack; after
+    cluster_permutation the same graph packs with a high dense-tile fraction
+    and the tiled SpMM matches the COO oracle."""
+    import pytest as _pytest
+
+    from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
+    from ssrg_tpu.ops.sparse import build_coo, build_tiled
+
+    adj, _, _ = _scrambled_clustered_graph()
+    kwargs = dict(row_block=64, tile_cols=64, min_edges_per_tile=40,
+                  min_tiled_fraction=0.5)
+    with _pytest.raises(ValueError, match="not clustered"):
+        build_tiled(adj, **kwargs)
+    perm = cluster_permutation(adj)
+    adj_p, _, _, _ = apply_permutation(adj, perm)
+    tiled = build_tiled(adj_p, **kwargs)
+    x = np.random.default_rng(0).normal(
+        size=(adj.shape[0], 8)
+    ).astype(np.float32)
+    ref = np.asarray(build_coo(adj_p).spmm(x))
+    np.testing.assert_allclose(np.asarray(tiled.spmm(x)), ref,
+                               rtol=2e-4, atol=2e-4)
