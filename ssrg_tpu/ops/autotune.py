@@ -66,21 +66,29 @@ def autotune_engine(
     multi-GiB dense-block array just to time one engine would stall for many
     minutes. Graphs whose banded/tiled pack exceeds the budget simply skip
     those candidates (the builders raise, caught below)."""
-    rng = np.random.default_rng(seed)
-    x = jnp.asarray(
-        rng.normal(size=(adj.shape[1], feature_dim)).astype(np.float32)
-    )
+    # probe features are generated ON DEVICE: timing is value-independent and
+    # a host->device transfer of [N, F] through a slow link (~3-4 MB/s here)
+    # would cost minutes at ogbn scale
+    x = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(seed), (adj.shape[1], feature_dim), jnp.float32
+        )
+    )()
     timings: Dict[str, float] = {}
     for name in candidates:
         if name == "dense" and adj.shape[0] > dense_limit:
             continue
         if name == "pallas_banded" and jax.default_backend() == "cpu":
             continue  # interpret mode: correct but not a meaningful timing
-        kwargs = (
-            {"mem_budget_bytes": dense_block_budget_bytes}
-            if name in ("banded", "tiled", "pallas_banded",
-                        "reorder_banded", "reorder_tiled") else {}
-        )
+        if name in ("tiled", "reorder_tiled"):
+            # device_scatter ships ~12 B/edge instead of the padded blocks,
+            # so the transfer budget no longer binds — the (device-memory)
+            # budget can be the builder's own default
+            kwargs = {"device_scatter": True}
+        elif name in ("banded", "pallas_banded", "reorder_banded"):
+            kwargs = {"mem_budget_bytes": dense_block_budget_bytes}
+        else:
+            kwargs = {}
         try:
             if name in ("reorder_banded", "reorder_tiled"):
                 # meta-engines: time the dense-block engine on the REORDERED

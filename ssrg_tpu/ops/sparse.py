@@ -299,6 +299,7 @@ class TiledAdj:
     rest: "HybridAdj"    # leftover scattered edges
     n_rows: int
     n_cols: int
+    tiled_fraction: float = 1.0  # fraction of edges in dense tiles (builder)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -338,7 +339,7 @@ class TiledAdj:
 
     def tree_flatten(self):
         return (self.tiles, self.starts, self.rest), (
-            self.n_rows, self.n_cols,
+            self.n_rows, self.n_cols, self.tiled_fraction,
         )
 
     @classmethod
@@ -505,6 +506,7 @@ def build_tiled(
     dtype=jnp.float32,
     mem_budget_bytes: int = 4 << 30,
     min_tiled_fraction: float = 0.25,
+    device_scatter: bool = False,
 ) -> TiledAdj:
     """Pack a clustered adjacency into dense tiles + hybrid leftovers.
 
@@ -514,7 +516,15 @@ def build_tiled(
     256×512 tile). Raises ``ValueError`` when fewer than
     ``min_tiled_fraction`` of the edges land in dense tiles (the graph is
     not clustered enough — tiles would waste memory for no speedup) or the
-    tile array would exceed ``mem_budget_bytes``."""
+    tile array would exceed ``mem_budget_bytes``.
+
+    ``device_scatter=True`` materializes the dense tile array ON DEVICE by
+    scattering one compact (slot, offset, value) tuple per dense edge
+    (~12 B/edge shipped) instead of transferring the fully padded blocks
+    (``row_block·tile_cols / edges_per_tile`` ≈ 100-1000× more bytes). On a
+    slow host↔device link (the tunneled relay here moves ~3-4 MB/s) this
+    turns a multi-GiB, many-minute transfer into seconds; it also skips the
+    host-side dense allocation entirely."""
     csr = adj.tocsr()
     n, m = csr.shape
     nb = -(-max(n, 1) // row_block)
@@ -550,7 +560,6 @@ def build_tiled(
             f"{mem_budget_bytes/2**30:.2f} GiB"
         )
 
-    tiles = np.zeros((nb, t_max, row_block, tile_cols), np.float32)
     starts = np.zeros((nb, t_max), np.int32)
     # slot index of each dense pair within its row block (dense_pairs is
     # sorted by key = b * num_segs + s, i.e. grouped by block)
@@ -561,18 +570,36 @@ def build_tiled(
     ).astype(np.int32)
     starts[blocks_of_pairs, pair_slot] = pair_start
 
-    # vectorized tile fill: rank each dense edge's pair, then fancy-assign
+    # rank each dense edge's pair once; both fill paths consume it
     local_r = rows_of % row_block
-    data = csr.data
+    data = csr.data.astype(np.float32)
     cols = csr.indices
     dense_idx = np.where(dense_set)[0]
     pair_rank = np.searchsorted(dense_pairs, pair_key[dense_idx])
-    tiles[
-        blocks_of_pairs[pair_rank],
-        pair_slot[pair_rank],
-        local_r[dense_idx],
-        cols[dense_idx] - pair_start[pair_rank],
-    ] = data[dense_idx]
+
+    if device_scatter:
+        slot_of_edge = (
+            blocks_of_pairs[pair_rank] * t_max + pair_slot[pair_rank]
+        ).astype(np.int32)
+        off_of_edge = (
+            local_r[dense_idx] * tile_cols
+            + (cols[dense_idx] - pair_start[pair_rank])
+        ).astype(np.int32)
+        tiles_dev = _tile_scatter(
+            jnp.asarray(slot_of_edge), jnp.asarray(off_of_edge),
+            jnp.asarray(data[dense_idx]),
+            n_slots=nb * t_max, slot_elems=row_block * tile_cols,
+            dtype=jnp.dtype(dtype),
+        ).reshape(nb, t_max, row_block, tile_cols)
+    else:
+        tiles = np.zeros((nb, t_max, row_block, tile_cols), np.float32)
+        tiles[
+            blocks_of_pairs[pair_rank],
+            pair_slot[pair_rank],
+            local_r[dense_idx],
+            cols[dense_idx] - pair_start[pair_rank],
+        ] = data[dense_idx]
+        tiles_dev = jnp.asarray(tiles, dtype=dtype)
 
     # leftovers into the standard hybrid engine
     rest_mask = ~dense_set
@@ -585,9 +612,18 @@ def build_tiled(
             (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
         ).tocsr()
     return TiledAdj(
-        jnp.asarray(tiles, dtype=dtype), jnp.asarray(starts),
+        tiles_dev, jnp.asarray(starts),
         build_hybrid(rest), n_rows=n, n_cols=m,
+        tiled_fraction=float(tiled_frac),
     )
+
+
+@partial(jax.jit, static_argnames=("n_slots", "slot_elems", "dtype"))
+def _tile_scatter(slots, offs, vals, n_slots, slot_elems, dtype):
+    """Materialize dense tiles on device from compact per-edge tuples.
+    2-D scatter keeps every index below 2^31 at any graph scale."""
+    flat = jnp.zeros((n_slots, slot_elems), dtype)
+    return flat.at[slots, offs].add(vals.astype(dtype))
 
 
 def device_adjacency(

