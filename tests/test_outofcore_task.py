@@ -170,3 +170,27 @@ def test_per_batch_dropout_keys_are_distinct(staged):
     keys = task.epoch0_batch_keys
     assert len(keys) > 1, "fixture must produce multiple train batches"
     assert len(set(keys)) == len(keys), f"duplicate per-batch dropout keys: {keys}"
+
+
+def test_prefetched_batches_match_direct_gather(staged):
+    """The background-thread prefetcher must yield exactly the same stacks,
+    indices and weights as direct synchronous gathering."""
+    root, g = staged
+    work = osp.join(root, "work")
+    labels = np.load(osp.join(root, "labels.npy"))
+    meta = ensure_spooled(osp.join(root, "edges.npy"), labels.shape[0], 3, work)
+    hop_dirs = ensure_hops(meta, osp.join(root, "features.npy"), 2, work)
+    tr, va, te = split_labels(labels, num_val=60, num_test=120, seed=0)
+    task = OutOfCoreNodeClassification(
+        meta, hop_dirs, labels, tr, va, te,
+        ModelConfig(model_name="sgc", prop_steps=2),
+        TrainingConfig(train_batch_size=32),
+    )
+    from ssrg_tpu.train.common import batch_iterator
+    rng = np.random.default_rng(0)
+    batches = list(batch_iterator(tr, 32, rng, shuffle=False))
+    got = list(task._prefetched(iter(batches)))
+    assert len(got) == len(batches)
+    for (stack, b, w), (b0, w0) in zip(got, batches):
+        assert np.array_equal(b, b0) and np.array_equal(w, w0)
+        np.testing.assert_array_equal(stack, task._stack(b0))
