@@ -92,15 +92,22 @@ def main() -> int:
     t0 = time.perf_counter()
     perm = cluster_permutation(adj_n)
     adj_p, _, _, _ = apply_permutation(adj_n, perm)
-    emit(phase="cluster_reorder", seconds=round(time.perf_counter() - t0, 2))
+    from ssrg_tpu.native import lpa_cluster
+    labels = lpa_cluster(adj_n.indptr, adj_n.indices)
+    _, counts = np.unique(labels, return_counts=True)
+    emit(phase="cluster_reorder", seconds=round(time.perf_counter() - t0, 2),
+         clusters=int(counts.size), largest=int(counts.max()),
+         median=int(np.median(counts)))
 
     t0 = time.perf_counter()
     tiled = build_tiled(adj_p, dtype=jnp.bfloat16, device_scatter=True,
                         mem_budget_bytes=8 << 30)
     jax.tree_util.tree_leaves(tiled)[0].block_until_ready()
-    nb, t_max, tile_elems = tiled.tile_stats
+    nb, p_num, tile_elems = tiled.tile_stats
     emit(phase="build_tiled", seconds=round(time.perf_counter() - t0, 2),
-         tiled_fraction=round(tiled.tiled_fraction, 4), nb=nb, T=t_max)
+         tiled_fraction=round(tiled.tiled_fraction, 4), nb=nb,
+         num_tiles=p_num,
+         tiles_gib=round(p_num * tile_elems * 2 / 2**30, 2))
 
     t0 = time.perf_counter()
     hybrid = build_hybrid(adj_n)  # RAW layout — what a user has without us

@@ -106,15 +106,17 @@ def synth_tiled(n: int, dtype_name: str):
     @jax.jit
     def gen_tiles():
         return jax.random.normal(
-            jax.random.PRNGKey(2), (nb, 1, ROW_BLOCK, TILE_COLS), jnp.float32
+            jax.random.PRNGKey(2), (nb, ROW_BLOCK, TILE_COLS), jnp.float32
         ).astype(dtype)
 
-    tiles = gen_tiles()
+    tiles = gen_tiles()  # flat-pair layout: one tile per row block (T=1)
     starts = np.minimum(
         (np.arange(nb) // 2) * TILE_COLS, n - TILE_COLS
-    ).astype(np.int32)[:, None]
+    ).astype(np.int32)
+    block_of = np.arange(nb, dtype=np.int32)
     rest = synth_rest_hybrid(n, REST_WIDTH)
-    return TiledAdj(tiles, jnp.asarray(starts), rest, n, n)
+    return TiledAdj(tiles, jnp.asarray(starts), jnp.asarray(block_of),
+                    rest, n, n)
 
 
 def measure(name: str, adj_dev, x, nnz_model: int, prop_steps=3, iters=10):

@@ -294,9 +294,10 @@ class TiledAdj:
     measured at products scale (docs/PERFORMANCE.md).
     """
 
-    tiles: jnp.ndarray   # [nb, T, row_block, tile_cols]  (f32 or bf16)
-    starts: jnp.ndarray  # int32 [nb, T] column start per tile (pad: 0, zeros)
-    rest: "HybridAdj"    # leftover scattered edges
+    tiles: jnp.ndarray     # [P, row_block, tile_cols]  (f32 or bf16)
+    starts: jnp.ndarray    # int32 [P] column start per tile
+    block_of: jnp.ndarray  # int32 [P] destination row block per tile
+    rest: Union["HybridAdj", "BlockCOOAdj"]  # scattered edges
     n_rows: int
     n_cols: int
     tiled_fraction: float = 1.0  # fraction of edges in dense tiles (builder)
@@ -307,38 +308,41 @@ class TiledAdj:
 
     @property
     def tile_stats(self) -> Tuple[int, int, int]:
-        nb, t, rb, tc = self.tiles.shape
-        return nb, t, rb * tc
+        p, rb, tc = self.tiles.shape
+        nb = -(-max(self.n_rows, 1) // rb)
+        return nb, p, rb * tc
 
     def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
-        nb, t, rb, tc = self.tiles.shape
+        # Flat-pair schedule: one scan step per REAL dense tile (no
+        # tiles-per-block padding — a max-T padded layout both wastes
+        # memory T_max/T_mean-fold and burns MXU time on all-zero pad
+        # tiles). Each step: contiguous window slice of X, one MXU matmul,
+        # accumulate into the tile's destination row block.
+        p, rb, tc = self.tiles.shape
         f = x.shape[1]
+        nb = -(-max(self.n_rows, 1) // rb)
         xp = x
         if tc > x.shape[0]:  # tiny graph
             xp = jnp.pad(x, ((0, tc - x.shape[0]), (0, 0)))
 
-        def block(carry, inputs):
-            tiles_b, starts_b = inputs  # [T, rb, tc], [T]
+        def pair(acc, inputs):
+            tile, start, blk = inputs
+            xw = jax.lax.dynamic_slice(xp, (start, 0), (tc, f))
+            y = jnp.dot(tile, xw.astype(tile.dtype),
+                        preferred_element_type=jnp.float32)
+            row0 = blk * rb
+            cur = jax.lax.dynamic_slice(acc, (row0, 0), (rb, f))
+            return jax.lax.dynamic_update_slice(acc, cur + y, (row0, 0)), None
 
-            def tile_step(k, acc):
-                xw = jax.lax.dynamic_slice(xp, (starts_b[k], 0), (tc, f))
-                return acc + jnp.dot(
-                    tiles_b[k], xw.astype(tiles_b.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-
-            acc = jax.lax.fori_loop(
-                0, t, tile_step, jnp.zeros((rb, f), jnp.float32)
-            )
-            return carry, acc
-
-        _, outs = jax.lax.scan(block, None, (self.tiles, self.starts))
-        out = outs.reshape(nb * rb, f)[: self.n_rows]
-        out = out + self.rest.spmm(x)
+        acc0 = jnp.zeros((nb * rb, f), jnp.float32)
+        out, _ = jax.lax.scan(
+            pair, acc0, (self.tiles, self.starts, self.block_of)
+        )
+        out = out[: self.n_rows] + self.rest.spmm(x)
         return out.astype(x.dtype) if x.dtype != jnp.float32 else out
 
     def tree_flatten(self):
-        return (self.tiles, self.starts, self.rest), (
+        return (self.tiles, self.starts, self.block_of, self.rest), (
             self.n_rows, self.n_cols, self.tiled_fraction,
         )
 
@@ -347,7 +351,88 @@ class TiledAdj:
         return cls(*children, *aux)
 
 
-Adjacency = Union[DenseAdj, COOAdj, ELLAdj, HybridAdj, BandedAdj, TiledAdj]
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockCOOAdj:
+    """2-D bucketed COO: edges grouped by (row bucket × column bucket) so
+    every gather reads and every scatter writes a SMALL contiguous window.
+
+    The plain sorted-COO/ELL gather rate collapses ~3.5× when X grows past
+    cache/TLB reach (products scale, docs/PERFORMANCE.md "Scale dependence"):
+    the gather engine is transaction-bound on random access into a ~1 GB
+    table. Bucketing restores the small-table rate: for each column bucket,
+    one `dynamic_slice` stages a [col_bucket, F] window of X (sequential
+    HBM read); edges of each row bucket then gather inside that window and
+    segment-sum into a [row_bucket, F] slab that is added back with
+    `dynamic_update_slice`. Column buckets scan OUTER so each window is
+    staged once per hop.
+
+    Storage is [nb_c, nb_r, L] (column-major outer for the scan), padded to
+    the max bucket fill; on near-uniform scattered edges (the inter-cluster
+    rest of a clustered graph — its distribution is uniform by construction)
+    padding waste is small. Used as the ``rest`` engine of :class:`TiledAdj`
+    at large N.
+    """
+
+    rows: jnp.ndarray   # int32 [nb_c, nb_r, L] row index LOCAL to row bucket
+    cols: jnp.ndarray   # int32 [nb_c, nb_r, L] col index LOCAL to col bucket
+    vals: jnp.ndarray   # f32   [nb_c, nb_r, L] (pad: 0)
+    n_rows: int
+    n_cols: int
+    row_bucket: int
+    col_bucket: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        nb_c, nb_r, _ = self.rows.shape
+        f = x.shape[1]
+        rb, cb = self.row_bucket, self.col_bucket
+        xp = x
+        if nb_c * cb > x.shape[0]:
+            xp = jnp.pad(x, ((0, nb_c * cb - x.shape[0]), (0, 0)))
+        row_starts = jnp.arange(nb_r, dtype=jnp.int32) * rb
+
+        def col_step(out, inputs):
+            r_b, c_b, v_b, j = inputs  # [nb_r, L] ×3, scalar bucket index
+            xw = jax.lax.dynamic_slice(xp, (j * cb, 0), (cb, f))
+
+            def row_step(out, inputs2):
+                r, c, v, start = inputs2
+                gathered = jnp.take(xw, c, axis=0) * v[:, None]
+                part = jax.ops.segment_sum(gathered, r, num_segments=rb)
+                cur = jax.lax.dynamic_slice(out, (start, 0), (rb, f))
+                return jax.lax.dynamic_update_slice(
+                    out, cur + part, (start, 0)
+                ), None
+
+            out, _ = jax.lax.scan(row_step, out, (r_b, c_b, v_b, row_starts))
+            return out, None
+
+        out0 = jnp.zeros((nb_r * rb, f), jnp.float32)
+        out, _ = jax.lax.scan(
+            col_step, out0,
+            (self.rows, self.cols, self.vals,
+             jnp.arange(nb_c, dtype=jnp.int32)),
+        )
+        out = out[: self.n_rows]
+        return out.astype(x.dtype) if x.dtype != jnp.float32 else out
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (
+            self.n_rows, self.n_cols, self.row_bucket, self.col_bucket,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+Adjacency = Union[
+    DenseAdj, COOAdj, ELLAdj, HybridAdj, BandedAdj, TiledAdj, BlockCOOAdj,
+]
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +583,42 @@ def build_banded(
     )
 
 
+def build_blockcoo(
+    adj: sp.spmatrix,
+    row_bucket: int = 1 << 16,
+    col_bucket: int = 1 << 16,
+    lane_pad: int = 512,
+) -> BlockCOOAdj:
+    """Pack any sparse matrix into the 2-D bucketed COO layout (edges grouped
+    by row-bucket × column-bucket, padded to the max bucket fill)."""
+    coo = adj.tocoo()
+    n, m = coo.shape
+    nb_r = -(-max(n, 1) // row_bucket)
+    nb_c = -(-max(m, 1) // col_bucket)
+    bi = coo.row // row_bucket
+    bj = coo.col // col_bucket
+    key = (bj.astype(np.int64) * nb_r + bi)  # column-major outer
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    counts = np.bincount(key_s, minlength=nb_r * nb_c)
+    L = _round_up(max(int(counts.max()), 1), lane_pad)
+    starts = np.zeros(nb_r * nb_c, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(key_s.size) - starts[key_s]
+    rows = np.zeros((nb_c * nb_r, L), np.int32)
+    cols = np.zeros((nb_c * nb_r, L), np.int32)
+    vals = np.zeros((nb_c * nb_r, L), np.float32)
+    rows[key_s, pos] = (coo.row[order] % row_bucket).astype(np.int32)
+    cols[key_s, pos] = (coo.col[order] % col_bucket).astype(np.int32)
+    vals[key_s, pos] = coo.data[order].astype(np.float32)
+    return BlockCOOAdj(
+        jnp.asarray(rows.reshape(nb_c, nb_r, L)),
+        jnp.asarray(cols.reshape(nb_c, nb_r, L)),
+        jnp.asarray(vals.reshape(nb_c, nb_r, L)),
+        n_rows=n, n_cols=m, row_bucket=row_bucket, col_bucket=col_bucket,
+    )
+
+
 def build_tiled(
     adj: sp.spmatrix,
     row_block: int = 256,
@@ -507,6 +628,7 @@ def build_tiled(
     mem_budget_bytes: int = 4 << 30,
     min_tiled_fraction: float = 0.25,
     device_scatter: bool = False,
+    rest_engine: str = "auto",
 ) -> TiledAdj:
     """Pack a clustered adjacency into dense tiles + hybrid leftovers.
 
@@ -517,6 +639,11 @@ def build_tiled(
     ``min_tiled_fraction`` of the edges land in dense tiles (the graph is
     not clustered enough — tiles would waste memory for no speedup) or the
     tile array would exceed ``mem_budget_bytes``.
+
+    ``rest_engine``: layout for the scattered leftovers — ``"hybrid"``
+    (ELL+COO gather over the full table), ``"blockcoo"`` (2-D bucketed COO:
+    small-window gathers — the right choice once X outgrows gather-cache
+    reach), or ``"auto"`` (blockcoo when n > 512k).
 
     ``device_scatter=True`` materializes the dense tile array ON DEVICE by
     scattering one compact (slot, offset, value) tuple per dense edge
@@ -547,28 +674,22 @@ def build_tiled(
             f"{row_block}x{tile_cols} tiles (>= {min_edges_per_tile} edges); "
             f"graph is not clustered enough — use engine='hybrid'"
         )
-    # tiles per row block (padded to the max)
+    # flat-pair storage: one [row_block, tile_cols] tile per REAL dense pair
+    # (dense_pairs is sorted by key = block·num_segs + seg, i.e. grouped by
+    # destination block) — a max-tiles-per-block padded layout would waste
+    # T_max/T_mean both in memory and in MXU work on all-zero pad tiles
     blocks_of_pairs = (dense_pairs // num_segs).astype(np.int64)
     segs_of_pairs = (dense_pairs % num_segs).astype(np.int64)
-    t_max = int(np.bincount(blocks_of_pairs, minlength=nb).max()) if len(
-        dense_pairs
-    ) else 1
-    need = nb * t_max * row_block * tile_cols * itemsize
+    p_num = len(dense_pairs)
+    need = p_num * row_block * tile_cols * itemsize
     if need > mem_budget_bytes:
         raise ValueError(
-            f"tiled pack needs {need/2**30:.2f} GiB (T={t_max}) > budget "
+            f"tiled pack needs {need/2**30:.2f} GiB ({p_num} tiles) > budget "
             f"{mem_budget_bytes/2**30:.2f} GiB"
         )
-
-    starts = np.zeros((nb, t_max), np.int32)
-    # slot index of each dense pair within its row block (dense_pairs is
-    # sorted by key = b * num_segs + s, i.e. grouped by block)
-    first_of_block = np.searchsorted(blocks_of_pairs, np.arange(nb))
-    pair_slot = np.arange(len(dense_pairs)) - first_of_block[blocks_of_pairs]
     pair_start = np.minimum(
         segs_of_pairs * tile_cols, max(m - tile_cols, 0)
     ).astype(np.int32)
-    starts[blocks_of_pairs, pair_slot] = pair_start
 
     # rank each dense edge's pair once; both fill paths consume it
     local_r = rows_of % row_block
@@ -578,52 +699,59 @@ def build_tiled(
     pair_rank = np.searchsorted(dense_pairs, pair_key[dense_idx])
 
     if device_scatter:
-        slot_of_edge = (
-            blocks_of_pairs[pair_rank] * t_max + pair_slot[pair_rank]
-        ).astype(np.int32)
         off_of_edge = (
             local_r[dense_idx] * tile_cols
             + (cols[dense_idx] - pair_start[pair_rank])
         ).astype(np.int32)
         tiles_dev = _tile_scatter(
-            jnp.asarray(slot_of_edge), jnp.asarray(off_of_edge),
-            jnp.asarray(data[dense_idx]),
-            n_slots=nb * t_max, slot_elems=row_block * tile_cols,
+            jnp.asarray(pair_rank.astype(np.int32)),
+            jnp.asarray(off_of_edge), jnp.asarray(data[dense_idx]),
+            p_num=p_num, row_block=row_block, tile_cols=tile_cols,
             dtype=jnp.dtype(dtype),
-        ).reshape(nb, t_max, row_block, tile_cols)
+        )
     else:
-        tiles = np.zeros((nb, t_max, row_block, tile_cols), np.float32)
+        tiles = np.zeros((p_num, row_block, tile_cols), np.float32)
         tiles[
-            blocks_of_pairs[pair_rank],
-            pair_slot[pair_rank],
+            pair_rank,
             local_r[dense_idx],
             cols[dense_idx] - pair_start[pair_rank],
         ] = data[dense_idx]
         tiles_dev = jnp.asarray(tiles, dtype=dtype)
 
-    # leftovers into the standard hybrid engine
+    # scattered leftovers
     rest_mask = ~dense_set
     rest = sp.coo_matrix(
         (data[rest_mask], (rows_of[rest_mask], cols[rest_mask])), shape=(n, m)
     ).tocsr()
-    # hybrid requires at least one edge; synthesize a zero-weight self entry
+    # the rest engines require at least one edge; synthesize a zero-weight one
     if rest.nnz == 0:
         rest = sp.coo_matrix(
             (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
         ).tocsr()
+    if rest_engine == "auto":
+        rest_engine = "blockcoo" if n > (1 << 19) else "hybrid"
+    rest_dev = (
+        build_blockcoo(rest) if rest_engine == "blockcoo"
+        else build_hybrid(rest)
+    )
     return TiledAdj(
-        tiles_dev, jnp.asarray(starts),
-        build_hybrid(rest), n_rows=n, n_cols=m,
+        tiles_dev, jnp.asarray(pair_start),
+        jnp.asarray(blocks_of_pairs.astype(np.int32)),
+        rest_dev, n_rows=n, n_cols=m,
         tiled_fraction=float(tiled_frac),
     )
 
 
-@partial(jax.jit, static_argnames=("n_slots", "slot_elems", "dtype"))
-def _tile_scatter(slots, offs, vals, n_slots, slot_elems, dtype):
-    """Materialize dense tiles on device from compact per-edge tuples.
-    2-D scatter keeps every index below 2^31 at any graph scale."""
-    flat = jnp.zeros((n_slots, slot_elems), dtype)
-    return flat.at[slots, offs].add(vals.astype(dtype))
+@partial(jax.jit,
+         static_argnames=("p_num", "row_block", "tile_cols", "dtype"))
+def _tile_scatter(pair_of, offs, vals, p_num, row_block, tile_cols, dtype):
+    """Materialize dense tiles on device from compact per-edge tuples
+    (~12 B/edge shipped vs the fully padded blocks). 2-D scatter keeps every
+    index below 2^31 at any graph scale; the reshape stays INSIDE the jit so
+    XLA emits a bitcast instead of a second multi-GiB buffer."""
+    flat = jnp.zeros((p_num, row_block * tile_cols), dtype)
+    flat = flat.at[pair_of, offs].add(vals.astype(dtype))
+    return flat.reshape(p_num, row_block, tile_cols)
 
 
 def device_adjacency(
@@ -649,6 +777,8 @@ def device_adjacency(
         return build_ell(adj, **kwargs)
     if engine == "hybrid":
         return build_hybrid(adj, **kwargs)
+    if engine == "blockcoo":
+        return build_blockcoo(adj, **kwargs)
     if engine == "banded":
         return build_banded(adj, **kwargs)
     if engine == "tiled":

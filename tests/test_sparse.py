@@ -298,3 +298,54 @@ def test_build_tiled_device_scatter_matches_host_build():
     ref = np.asarray(build_coo(adj).spmm(x))
     np.testing.assert_allclose(np.asarray(t_dev.spmm(x)), ref,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_blockcoo_matches_coo_oracle():
+    """2-D bucketed COO (small-window gather/scatter locality engine) must
+    reproduce plain COO SpMM exactly, including ragged edge buckets and
+    non-multiple shapes."""
+    import scipy.sparse as sp
+
+    from ssrg_tpu.ops.sparse import build_blockcoo, build_coo
+
+    rng = np.random.default_rng(7)
+    n, m = 1000, 900  # not multiples of the bucket sizes
+    nnz = 8000
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, m, nnz)
+    v = rng.normal(size=nnz).astype(np.float32)
+    adj = sp.coo_matrix((v, (r, c)), shape=(n, m)).tocsr()
+    x = rng.normal(size=(m, 12)).astype(np.float32)
+    ref = np.asarray(build_coo(adj).spmm(x))
+    got = build_blockcoo(adj, row_bucket=256, col_bucket=192, lane_pad=64)
+    np.testing.assert_allclose(np.asarray(got.spmm(x)), ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tiled_with_blockcoo_rest_matches_oracle():
+    import scipy.sparse as sp
+
+    from ssrg_tpu.ops.sparse import build_coo, build_tiled
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    base = (np.arange(n) // 128) * 128
+    r_in = np.repeat(np.arange(n), 8)
+    c_in = base[r_in] + rng.integers(0, 128, r_in.shape)
+    r_sc = np.repeat(np.arange(n), 2)
+    c_sc = rng.integers(0, n, r_sc.shape)
+    r = np.concatenate([r_in, r_sc]); c = np.concatenate([c_in, c_sc])
+    keep = r != c
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (r[keep], c[keep])), shape=(n, n)
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = rng.uniform(0.5, 1.0, adj.nnz).astype(np.float32)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    ref = np.asarray(build_coo(adj).spmm(x))
+    tiled = build_tiled(adj, row_block=64, tile_cols=128,
+                        min_edges_per_tile=16, rest_engine="blockcoo")
+    from ssrg_tpu.ops.sparse import BlockCOOAdj
+    assert isinstance(tiled.rest, BlockCOOAdj)
+    np.testing.assert_allclose(np.asarray(tiled.spmm(x)), ref,
+                               rtol=2e-4, atol=2e-4)
