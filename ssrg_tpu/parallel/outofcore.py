@@ -69,12 +69,30 @@ def outofcore_propagate(
     prop_steps: int,
     work_dir: str,
     verbose: bool = False,
+    mode: str = "auto",
+    acc_budget_bytes: int = 4 << 30,
+    transfer_dtype: str = "float32",
 ) -> List[str]:
     """Run K hops block-at-a-time; returns the list of per-hop directories
     (``hop0`` … ``hop<K>``), each holding ``num_shards`` block files.
 
-    Device memory high-water mark: one [block, F] source block, one
-    [block, F] accumulator, one padded edge bucket — independent of N.
+    Two schedules:
+
+    - ``dest_outer`` — one [block, F] accumulator + one source block on
+      device at a time (O(block·F) device memory, independent of N), but
+      every source block is re-read and re-transferred once per destination
+      block: host→device volume per hop = ``num_shards · N · F · itemsize``.
+    - ``source_outer`` — ALL destination accumulators stay device-resident
+      and each source block streams exactly ONCE per hop: host→device volume
+      per hop = ``N · F · itemsize`` (``num_shards×`` less), at the cost of
+      O(N·F) device memory for the accumulators. This is the
+      transfer-optimal schedule whenever the accumulators fit — decisive
+      both through slow host↔device links (the ~3-4 MB/s relay here) and on
+      PCIe-attached accelerators.
+
+    ``auto`` picks ``source_outer`` when the accumulator set fits
+    ``acc_budget_bytes``. ``transfer_dtype="bfloat16"`` ships source blocks
+    at half width (accumulation stays f32; hop files on disk stay f32).
     """
     import jax.numpy as jnp
 
@@ -97,36 +115,58 @@ def outofcore_propagate(
     f_dim = int(
         np.load(osp.join(hop_dirs[0], "block0.npy"), mmap_mode="r").shape[1]
     )
+    if mode == "auto":
+        mode = (
+            "source_outer"
+            if s * block * f_dim * 4 <= acc_budget_bytes else "dest_outer"
+        )
+    xfer = jnp.bfloat16 if transfer_dtype == "bfloat16" else jnp.float32
+
+    def load_block(hop_dir: str, j: int):
+        blk = np.load(osp.join(hop_dir, f"block{j}.npy"))
+        return jnp.asarray(blk, dtype=xfer)
+
+    def padded_bucket(i: int, j: int):
+        r, c_local, v, offsets = buckets[i]
+        lo, hi = int(offsets[j]), int(offsets[j + 1])
+        if hi == lo:
+            return None
+        n_pad = _pow2_pad(hi - lo)
+        rows = np.zeros(n_pad, np.int32)
+        cols = np.zeros(n_pad, np.int32)
+        vals = np.zeros(n_pad, np.float32)
+        rows[: hi - lo] = r[lo:hi]
+        cols[: hi - lo] = c_local[lo:hi]
+        vals[: hi - lo] = v[lo:hi]
+        return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
+
     for h in range(prop_steps):
         prev_dir = hop_dirs[-1]
         cur_dir = osp.join(work_dir, f"hop{h + 1}")
         os.makedirs(cur_dir, exist_ok=True)
-        # destination-major: ONE accumulator + ONE source block on device at
-        # a time (the O(block·F) memory bound); source blocks are re-read
-        # from disk per destination — the disk-for-memory trade that defines
-        # out-of-core operation
-        for i in range(s):
-            r, c_local, v, offsets = buckets[i]
-            acc = jnp.zeros((block, f_dim), jnp.float32)
+        if mode == "source_outer":
+            accs = [jnp.zeros((block, f_dim), jnp.float32) for _ in range(s)]
             for j in range(s):
-                lo, hi = int(offsets[j]), int(offsets[j + 1])
-                if hi == lo:
-                    continue
-                xj = jnp.asarray(np.load(osp.join(prev_dir, f"block{j}.npy")))
-                n_pad = _pow2_pad(hi - lo)
-                rows = np.zeros(n_pad, np.int32)
-                cols = np.zeros(n_pad, np.int32)
-                vals = np.zeros(n_pad, np.float32)
-                rows[: hi - lo] = r[lo:hi]
-                cols[: hi - lo] = c_local[lo:hi]
-                vals[: hi - lo] = v[lo:hi]
-                acc = _block_spmm(
-                    jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-                    xj, acc, block,
-                )
-            np.save(osp.join(cur_dir, f"block{i}.npy"), np.asarray(acc))
+                xj = load_block(prev_dir, j)
+                for i in range(s):
+                    bucket = padded_bucket(i, j)
+                    if bucket is None:
+                        continue
+                    accs[i] = _block_spmm(*bucket, xj, accs[i], block)
+            for i in range(s):
+                np.save(osp.join(cur_dir, f"block{i}.npy"), np.asarray(accs[i]))
+        else:
+            for i in range(s):
+                acc = jnp.zeros((block, f_dim), jnp.float32)
+                for j in range(s):
+                    bucket = padded_bucket(i, j)
+                    if bucket is None:
+                        continue
+                    xj = load_block(prev_dir, j)
+                    acc = _block_spmm(*bucket, xj, acc, block)
+                np.save(osp.join(cur_dir, f"block{i}.npy"), np.asarray(acc))
         if verbose:
-            print(f"out-of-core hop {h + 1}/{prop_steps} done")
+            print(f"out-of-core hop {h + 1}/{prop_steps} done ({mode})")
         hop_dirs.append(cur_dir)
     return hop_dirs
 

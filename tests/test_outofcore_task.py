@@ -194,3 +194,30 @@ def test_prefetched_batches_match_direct_gather(staged):
     for (stack, b, w), (b0, w0) in zip(got, batches):
         assert np.array_equal(b, b0) and np.array_equal(w, w0)
         np.testing.assert_array_equal(stack, task._stack(b0))
+
+
+def test_propagate_schedules_agree(staged, tmp_path):
+    """source_outer (transfer-optimal) and dest_outer (memory-minimal)
+    schedules produce identical hop files; bfloat16 transfer stays within
+    half-precision tolerance."""
+    from ssrg_tpu.parallel.outofcore import outofcore_propagate
+
+    root, g = staged
+    labels = np.load(osp.join(root, "labels.npy"))
+    meta = ensure_spooled(osp.join(root, "edges.npy"), labels.shape[0], 3,
+                          osp.join(root, "work"))
+    feats = osp.join(root, "features.npy")
+    d_src = outofcore_propagate(meta, feats, 2, str(tmp_path / "src"),
+                                mode="source_outer")
+    d_dst = outofcore_propagate(meta, feats, 2, str(tmp_path / "dst"),
+                                mode="dest_outer")
+    d_bf = outofcore_propagate(meta, feats, 2, str(tmp_path / "bf"),
+                               mode="source_outer",
+                               transfer_dtype="bfloat16")
+    for h in range(3):
+        for i in range(meta.num_shards):
+            a = np.load(osp.join(d_src[h], f"block{i}.npy"))
+            b = np.load(osp.join(d_dst[h], f"block{i}.npy"))
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+            c = np.load(osp.join(d_bf[h], f"block{i}.npy"))
+            np.testing.assert_allclose(c, a, rtol=2e-2, atol=2e-2)
