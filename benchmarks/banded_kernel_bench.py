@@ -27,7 +27,8 @@ F_DIM = 128
 NNZ_MODEL = 2_489_237   # arxiv-scale symmetric+loops edge count
 
 
-def synth_banded(n_blocks: int, dtype_name: str):
+def synth_banded(n_blocks: int, dtype_name: str, row_block: int = ROW_BLOCK,
+                 window: int = WINDOW):
     import jax
     import jax.numpy as jnp
 
@@ -36,14 +37,14 @@ def synth_banded(n_blocks: int, dtype_name: str):
     @jax.jit
     def gen():
         return jax.random.normal(
-            jax.random.PRNGKey(0), (n_blocks, ROW_BLOCK, WINDOW), jnp.float32
+            jax.random.PRNGKey(0), (n_blocks, row_block, window), jnp.float32
         ).astype(dtype)
 
     blocks = gen()
-    n = n_blocks * ROW_BLOCK
+    n = n_blocks * row_block
     los = np.minimum(
-        np.maximum(np.arange(n_blocks) * ROW_BLOCK - WINDOW // 2, 0),
-        n - WINDOW,
+        np.maximum(np.arange(n_blocks) * row_block - window // 2, 0),
+        n - window,
     )
     los = ((los // 8) * 8).astype(np.int32)
     return blocks, jnp.asarray(los), n
@@ -77,9 +78,12 @@ def measure(name, adj_dev, x, prop_steps=3, iters=10):
 
 def main():
     ap = argparse.ArgumentParser()
+    # rb512 doubles the row block (window grows to cover the 512-row span,
+    # halving window-DMA count); "w" suffix = window staged in bf16
     ap.add_argument("--engines", nargs="+",
-                    default=["xla_bf16", "pallas_bf16", "xla_f32",
-                             "pallas_f32"])
+                    default=["xla_bf16", "pallas_bf16", "pallas_bf16w",
+                             "pallas_bf16w_rb512", "pallas_bf16_rb512",
+                             "xla_f32", "pallas_f32"])
     ap.add_argument("--blocks", type=int, default=661)  # arxiv-scale
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -91,19 +95,26 @@ def main():
 
     print(f"device: {jax.devices()[0].platform}", flush=True)
     for eng in args.engines:
-        kind, dt = eng.split("_")
-        blocks, los, n = synth_banded(args.blocks, dt)
+        parts = eng.split("_")
+        kind, dt = parts[0], parts[1].rstrip("w")
+        win_bf16 = parts[1].endswith("w")
+        rb = 512 if "rb512" in parts else ROW_BLOCK
+        # same band: at rb=512 each block spans 256 more rows of the band
+        window = WINDOW + (rb - ROW_BLOCK)
+        nb = args.blocks * ROW_BLOCK // rb
+        blocks, los, n = synth_banded(nb, dt, row_block=rb, window=window)
         x = jax.jit(
             lambda: jax.random.normal(
                 jax.random.PRNGKey(1), (n, F_DIM), jax.numpy.float32
             )
         )()
         if kind == "xla":
-            adj = BandedAdj(blocks, los, n, n, ROW_BLOCK)
+            adj = BandedAdj(blocks, los, n, n, rb)
         else:
             adj = PallasBandedAdj(
-                blocks, los, n, n, ROW_BLOCK,
+                blocks, los, n, n, rb,
                 interpret=jax.default_backend() == "cpu",
+                window_bf16=win_bf16,
             )
         measure(eng, adj, x, iters=args.iters)
         del adj, blocks, x

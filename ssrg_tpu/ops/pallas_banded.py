@@ -82,6 +82,9 @@ class PallasBandedAdj:
     n_cols: int
     row_block: int
     interpret: bool = False
+    # stage the X window in bf16: halves the window-DMA bytes (the second-
+    # largest traffic term after the block stream); accumulation stays f32
+    window_bf16: bool = False
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -94,7 +97,8 @@ class PallasBandedAdj:
     def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
         nb, rb, w = self.blocks.shape
         f = x.shape[1]
-        x32 = x.astype(jnp.float32)
+        wdtype = jnp.bfloat16 if self.window_bf16 else jnp.float32
+        x32 = x.astype(wdtype)
         if w > x32.shape[0]:  # tiny graph: window exceeds N, pad once
             x32 = jnp.pad(x32, ((0, w - x32.shape[0]), (0, 0)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -111,7 +115,7 @@ class PallasBandedAdj:
                 (rb, f), lambda i, los: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, w, f), jnp.float32),
+                pltpu.VMEM((2, w, f), wdtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -127,6 +131,7 @@ class PallasBandedAdj:
     def tree_flatten(self):
         return (self.blocks, self.los), (
             self.n_rows, self.n_cols, self.row_block, self.interpret,
+            self.window_bf16,
         )
 
     @classmethod
@@ -141,6 +146,7 @@ def build_pallas_banded(
     dtype=jnp.float32,
     mem_budget_bytes: int = 2 << 30,
     interpret: Optional[bool] = None,
+    window_bf16: bool = False,
 ) -> PallasBandedAdj:
     """Pack via the BandedAdj builder, evaluate via the Pallas kernel."""
     from ssrg_tpu.ops.sparse import build_banded
@@ -153,5 +159,5 @@ def build_pallas_banded(
         interpret = jax.default_backend() == "cpu"
     return PallasBandedAdj(
         banded.blocks, banded.los, banded.n_rows, banded.n_cols,
-        banded.row_block, interpret=interpret,
+        banded.row_block, interpret=interpret, window_bf16=window_bf16,
     )

@@ -77,3 +77,29 @@ def test_refuses_unbanded_graph():
     adj = sp.csr_matrix((np.ones(4 * n, np.float32), (r, c)), shape=(n, n))
     with pytest.raises(ValueError, match="not banded"):
         build_pallas_banded(adj, mem_budget_bytes=16 << 20)
+
+
+def test_window_bf16_matches_oracle_loosely():
+    """bf16-staged window halves window-DMA bytes; result must match the
+    f32 engine within half-precision tolerance (interpret mode)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ssrg_tpu.ops.pallas_banded import build_pallas_banded
+    from ssrg_tpu.ops.sparse import build_coo
+
+    rng = np.random.default_rng(4)
+    n, bw = 512, 40
+    r = np.repeat(np.arange(n), 6)
+    c = np.clip(r + rng.integers(-bw, bw + 1, r.shape), 0, n - 1)
+    keep = r != c
+    adj = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, keep.sum()).astype(np.float32),
+         (r[keep], c[keep])), shape=(n, n),
+    ).tocsr()
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    ref = np.asarray(build_coo(adj).spmm(x))
+    eng = build_pallas_banded(adj, row_block=64, interpret=True,
+                              window_bf16=True)
+    got = np.asarray(eng.spmm(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
