@@ -46,7 +46,7 @@ def synth_banded(n_blocks: int, dtype_name: str, row_block: int = ROW_BLOCK,
         np.maximum(np.arange(n_blocks) * row_block - window // 2, 0),
         n - window,
     )
-    los = ((los // 8) * 8).astype(np.int32)
+    los = ((los // 16) * 16).astype(np.int32)
     return blocks, jnp.asarray(los), n
 
 

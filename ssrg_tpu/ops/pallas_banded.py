@@ -46,16 +46,20 @@ def _banded_kernel(los_ref, blocks_ref, x_hbm, out_ref, xwin, sems):
     slot = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
 
+    # window starts are 16-aligned by the builder; Mosaic needs the proof
+    # (bf16 HBM sources tile at 16 sublanes) or it rejects the dynamic slice
     @pl.when(i == 0)
     def _():
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(los_ref[0], w)], xwin.at[0], sems.at[0]
+            x_hbm.at[pl.ds(pl.multiple_of(los_ref[0], 16), w)],
+            xwin.at[0], sems.at[0]
         ).start()
 
     @pl.when(i + 1 < nb)
     def _():
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(los_ref[i + 1], w)], xwin.at[nxt], sems.at[nxt]
+            x_hbm.at[pl.ds(pl.multiple_of(los_ref[i + 1], 16), w)],
+            xwin.at[nxt], sems.at[nxt]
         ).start()
 
     pltpu.make_async_copy(
@@ -81,6 +85,7 @@ class PallasBandedAdj:
     n_rows: int
     n_cols: int
     row_block: int
+    pad_to: int = 0
     interpret: bool = False
     # stage the X window in bf16: halves the window-DMA bytes (the second-
     # largest traffic term after the block stream); accumulation stays f32
@@ -99,8 +104,9 @@ class PallasBandedAdj:
         f = x.shape[1]
         wdtype = jnp.bfloat16 if self.window_bf16 else jnp.float32
         x32 = x.astype(wdtype)
-        if w > x32.shape[0]:  # tiny graph: window exceeds N, pad once
-            x32 = jnp.pad(x32, ((0, w - x32.shape[0]), (0, 0)))
+        need = max(w, self.pad_to)
+        if need > x32.shape[0]:  # pad so window DMAs never clip
+            x32 = jnp.pad(x32, ((0, need - x32.shape[0]), (0, 0)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -130,8 +136,8 @@ class PallasBandedAdj:
 
     def tree_flatten(self):
         return (self.blocks, self.los), (
-            self.n_rows, self.n_cols, self.row_block, self.interpret,
-            self.window_bf16,
+            self.n_rows, self.n_cols, self.row_block, self.pad_to,
+            self.interpret, self.window_bf16,
         )
 
     @classmethod
@@ -159,5 +165,6 @@ def build_pallas_banded(
         interpret = jax.default_backend() == "cpu"
     return PallasBandedAdj(
         banded.blocks, banded.los, banded.n_rows, banded.n_cols,
-        banded.row_block, interpret=interpret, window_bf16=window_bf16,
+        banded.row_block, pad_to=banded.pad_to, interpret=interpret,
+        window_bf16=window_bf16,
     )

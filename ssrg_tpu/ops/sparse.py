@@ -239,6 +239,9 @@ class BandedAdj:
     n_rows: int
     n_cols: int
     row_block: int
+    # rows X must be padded to so every (16-aligned) window slice fits
+    # without clamping; 0 = legacy/clamped layout (no extra pad needed)
+    pad_to: int = 0
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -252,8 +255,9 @@ class BandedAdj:
         nb, rb, w = self.blocks.shape
         f = x.shape[1]
         xp = x
-        if w > x.shape[0]:  # tiny graph: window exceeds N, pad once
-            xp = jnp.pad(x, ((0, w - x.shape[0]), (0, 0)))
+        need = max(w, self.pad_to)
+        if need > x.shape[0]:  # pad so window slices never clip
+            xp = jnp.pad(x, ((0, need - x.shape[0]), (0, 0)))
 
         def block(carry, inputs):
             a, lo = inputs
@@ -269,7 +273,7 @@ class BandedAdj:
 
     def tree_flatten(self):
         return (self.blocks, self.los), (
-            self.n_rows, self.n_cols, self.row_block,
+            self.n_rows, self.n_cols, self.row_block, self.pad_to,
         )
 
     @classmethod
@@ -557,7 +561,7 @@ def build_banded(
         cols_b = csr.indices[csr.indptr[r0] : csr.indptr[r1]]
         if cols_b.size:
             lo[b], hi[b] = cols_b.min(), cols_b.max()
-    lo = (lo // 8) * 8  # sublane-align the slice start
+    lo = (lo // 16) * 16  # sublane-align (16: bf16 tile) the slice start
     window = int((hi - lo).max()) + 1 if n else 1
     window = _round_up(max(window, 1), lane_pad)
     need = nb * row_block * window * itemsize
@@ -567,9 +571,10 @@ def build_banded(
             f"budget {mem_budget_bytes/2**30:.2f} GiB; graph is not banded "
             f"enough — RCM-reorder it or use engine='hybrid'"
         )
-    # clamp window starts so dynamic_slice never clips (shifting a window
-    # left is safe: column offsets stay inside [0, window))
-    lo = np.maximum(np.minimum(lo, max(m - window, 0)), 0)
+    # window starts stay 16-aligned and UNclamped (the Pallas kernel's
+    # Mosaic alignment proof needs the 16-multiple); instead of clamping at
+    # the right edge, spmm pads X to ``pad_to`` so slices never clip
+    pad_to = int((lo + window).max()) if n else window
 
     blocks = np.zeros((nb, row_block, window), np.float32)
     rows_of = np.repeat(np.arange(n), np.diff(csr.indptr))
@@ -579,14 +584,14 @@ def build_banded(
     blocks[block_of, local_r, local_c] = csr.data
     return BandedAdj(
         jnp.asarray(blocks, dtype=dtype), jnp.asarray(lo, jnp.int32),
-        n_rows=n, n_cols=m, row_block=row_block,
+        n_rows=n, n_cols=m, row_block=row_block, pad_to=pad_to,
     )
 
 
 def build_blockcoo(
     adj: sp.spmatrix,
-    row_bucket: int = 1 << 16,
-    col_bucket: int = 1 << 16,
+    row_bucket: int = 1 << 18,
+    col_bucket: int = 1 << 19,
     lane_pad: int = 512,
 ) -> BlockCOOAdj:
     """Pack any sparse matrix into the 2-D bucketed COO layout (edges grouped
