@@ -28,19 +28,44 @@ import numpy as np
 from ssrg_tpu.data.streaming import StreamingGraphMeta, load_shard
 
 
+_CHUNK = 1 << 20  # bounds the materialized gather at chunk × F
+
+
 def _pow2_pad(n: int, floor: int = 1 << 12) -> int:
+    """Pad small buckets to a power of two (bounded compile-shape count);
+    buckets past _CHUNK pad to a chunk multiple (the chunked scan below
+    keeps the gather bounded — an unchunked 30M-edge diagonal bucket
+    materialized an 8.6 GB gather and OOM'd the 16 GB chip at N=10M)."""
     p = floor
-    while p < n:
+    while p < n and p < _CHUNK:
         p <<= 1
-    return p
+    if n <= p:
+        return p
+    return -(-n // _CHUNK) * _CHUNK
 
 
 @partial(jax.jit, static_argnames=("block",))
 def _block_spmm(rows, cols_local, vals, x_block, acc, block):
-    """acc += segment_sum(x_block[cols_local] * vals, rows). Padded entries
-    carry val == 0 (any valid index)."""
-    gathered = x_block[cols_local] * vals[:, None]
-    return acc + jax.ops.segment_sum(gathered, rows, num_segments=block)
+    """acc += segment_sum(x_block[cols_local] * vals, rows), scanned over
+    _CHUNK-edge slices so the materialized gather stays bounded. Padded
+    entries carry val == 0 (any valid index)."""
+    n = rows.shape[0]
+    if n <= _CHUNK:
+        gathered = x_block[cols_local] * vals[:, None]
+        return acc + jax.ops.segment_sum(gathered, rows, num_segments=block)
+    num = n // _CHUNK
+
+    def step(a, inp):
+        r, c, v = inp
+        gathered = x_block[c] * v[:, None]
+        return a + jax.ops.segment_sum(gathered, r, num_segments=block), None
+
+    out, _ = jax.lax.scan(
+        step, acc,
+        (rows.reshape(num, _CHUNK), cols_local.reshape(num, _CHUNK),
+         vals.reshape(num, _CHUNK)),
+    )
+    return out
 
 
 def stage_feature_blocks(
