@@ -48,16 +48,29 @@ def reorder_permutation(adj: sp.spmatrix, method: str = "rcm") -> np.ndarray:
 
 
 def cluster_permutation(
-    adj: sp.spmatrix, max_sweeps: int = 20,
+    adj: sp.spmatrix, max_sweeps: int = 20, order: str = "affinity",
 ) -> np.ndarray:
     """Community-clustering node order for the tiled (BSR) engine.
 
     Label-propagation (``native.lpa_cluster`` — OMP C++ with a vectorized
     numpy fallback) finds communities in O(E · sweeps) with no METIS
-    dependency; nodes are then renumbered cluster-by-cluster (largest
-    community first, original id within), so intra-community edges land in
-    dense [row_block × tile_cols] tiles near the diagonal and only
-    inter-community edges spill into ``build_tiled``'s scattered rest.
+    dependency; nodes are then renumbered cluster-by-cluster, so
+    intra-community edges land in dense [row_block × tile_cols] tiles near
+    the diagonal and only inter-community edges spill into ``build_tiled``'s
+    scattered rest.
+
+    ``order`` picks the second level of the hierarchy — how clusters are
+    arranged relative to each other:
+
+    - ``"affinity"`` (default): RCM over the CONTRACTED cluster graph
+      (clusters as super-nodes, inter-cluster edge counts as weights), so
+      strongly-connected clusters sit adjacent in the id space and their
+      inter-cluster edges ALSO fall near the diagonal — capturable by dense
+      tiles instead of spilling to the scattered rest. This is the cheap
+      two-level stand-in for hierarchical clustering (PERFORMANCE.md open
+      item 4).
+    - ``"size"``: largest community first (round-3 original).
+
     Role analog: the reference's ClusterData partitioning
     (``/root/reference/main.py:29-30``) — its only locality mechanism —
     repurposed as a storage-layout transform. Returns ``perm`` with
@@ -69,9 +82,25 @@ def cluster_permutation(
     n = csr.shape[0]
     labels = native.lpa_cluster(csr.indptr, csr.indices, max_sweeps)
     _, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
-    size_rank = np.empty(counts.shape[0], np.int64)
-    size_rank[np.argsort(-counts, kind="stable")] = np.arange(counts.shape[0])
-    return np.lexsort((np.arange(n), size_rank[inv]))
+    k = counts.shape[0]
+    rank = np.empty(k, np.int64)
+    if order == "affinity" and 1 < k < n:
+        coo = csr.tocoo()
+        cu, cv = inv[coo.row], inv[coo.col]
+        inter = cu != cv
+        cg = sp.coo_matrix(
+            (np.ones(int(inter.sum()), np.float32),
+             (cu[inter], cv[inter])), shape=(k, k),
+        ).tocsr()
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        order_of = np.asarray(reverse_cuthill_mckee(cg, symmetric_mode=True))
+        rank[order_of] = np.arange(k)
+    elif order in ("affinity", "size"):
+        rank[np.argsort(-counts, kind="stable")] = np.arange(k)
+    else:
+        raise ValueError(f"unknown cluster order {order!r}")
+    return np.lexsort((np.arange(n), rank[inv]))
 
 
 def apply_permutation(

@@ -158,3 +158,48 @@ def test_cluster_reorder_enables_tiled_engine():
     ref = np.asarray(build_coo(adj_p).spmm(x))
     np.testing.assert_allclose(np.asarray(tiled.spmm(x)), ref,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_affinity_cluster_order_captures_inter_cluster_edges():
+    """Two-level hierarchy regime where the cluster ORDER matters: clusters
+    (32 nodes) are smaller than a tile segment (128 cols) and each cluster's
+    inter-edges go to 3 SIBLINGS. Per (row-block × sibling) pair the edge
+    count sits below min_edges_per_tile, so with size ordering those edges
+    spill to the scattered rest; affinity ordering (RCM on the contracted
+    cluster graph) packs the 4 siblings into ONE segment, pooling their
+    edges above threshold into dense tiles."""
+    from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    rng = np.random.default_rng(11)
+    n, comm, group = 8192, 32, 4  # 256 clusters in 64 sibling groups
+    cluster_of = np.arange(n) // comm
+    group_base = (cluster_of // group) * group  # first cluster of the group
+    r_in = np.repeat(np.arange(n), 6)
+    c_in = cluster_of[r_in] * comm + rng.integers(0, comm, r_in.shape)
+    r_g = np.repeat(np.arange(n), 1)
+    # a random SIBLING cluster (not self) within the group
+    sib = group_base[r_g] + rng.integers(0, group, r_g.shape)
+    sib = np.where(sib == cluster_of[r_g], group_base[r_g] + (
+        (sib - group_base[r_g] + 1) % group), sib)
+    c_g = sib * comm + rng.integers(0, comm, r_g.shape)
+    r = np.concatenate([r_in, r_g])
+    c = np.concatenate([c_in, c_g])
+    keep = r != c
+    shuf = rng.permutation(n)
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
+        shape=(n, n),
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = 1.0
+
+    def frac(order):
+        perm = cluster_permutation(adj, order=order)
+        adj_p, _, _, _ = apply_permutation(adj, perm)
+        t = build_tiled(adj_p, row_block=64, tile_cols=128,
+                        min_edges_per_tile=48, min_tiled_fraction=0.05)
+        return t.tiled_fraction
+
+    f_aff, f_size = frac("affinity"), frac("size")
+    assert f_aff > f_size + 0.05, (f_aff, f_size)
