@@ -632,7 +632,7 @@ def build_tiled(
     dtype=jnp.float32,
     mem_budget_bytes: int = 4 << 30,
     min_tiled_fraction: float = 0.25,
-    device_scatter: bool = False,
+    device_scatter: bool = True,
     rest_engine: str = "auto",
 ) -> TiledAdj:
     """Pack a clustered adjacency into dense tiles + hybrid leftovers.
@@ -650,7 +650,7 @@ def build_tiled(
     small-window gathers — the right choice once X outgrows gather-cache
     reach), or ``"auto"`` (blockcoo when n > 512k).
 
-    ``device_scatter=True`` materializes the dense tile array ON DEVICE by
+    ``device_scatter`` (default True) materializes the dense tile array ON DEVICE by
     scattering one compact (slot, offset, value) tuple per dense edge
     (~12 B/edge shipped) instead of transferring the fully padded blocks
     (``row_block·tile_cols / edges_per_tile`` ≈ 100-1000× more bytes). On a
