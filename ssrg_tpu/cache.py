@@ -46,13 +46,17 @@ def cached_propagate(
     cache_dir: Optional[str],
     engine: str = "auto",
     tag: str = "",
+    engine_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
-    """K-hop propagation with a disk cache of the result."""
+    """K-hop propagation with a disk cache of the result. ``engine_kwargs``
+    flows to the engine builder (callers must fold anything that changes
+    numerics — e.g. bf16 storage — into ``tag``)."""
     from ssrg_tpu.ops.propagate import propagate
     from ssrg_tpu.ops.sparse import device_adjacency
 
+    kw = engine_kwargs or {}
     if cache_dir is None:
-        adj_dev = device_adjacency(adj_norm, engine)
+        adj_dev = device_adjacency(adj_norm, engine, **kw)
         return propagate(adj_dev, jnp.asarray(x, jnp.float32), prop_steps)
 
     os.makedirs(cache_dir, exist_ok=True)
@@ -61,7 +65,7 @@ def cached_propagate(
     if osp.exists(path):
         with np.load(path) as z:
             return jnp.asarray(z["hops"])
-    adj_dev = device_adjacency(adj_norm, engine)
+    adj_dev = device_adjacency(adj_norm, engine, **kw)
     hops = propagate(adj_dev, jnp.asarray(x, jnp.float32), prop_steps)
     np.savez(path, hops=np.asarray(hops))
     return hops

@@ -53,6 +53,10 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--spmm_engine", default="auto",
                    help="auto|dense|coo|ell|hybrid|banded|tiled|reorder_banded|reorder_tiled|pallas|pallas_banded|autotune")
+    p.add_argument("--spmm_bf16", action="store_true",
+                   help="bf16 dense-block storage for the reorder engines "
+                        "(fastest measured tier; rounds the precompute to "
+                        "half precision)")
     p.add_argument("--scan_epochs", action="store_true",
                    help="run all epochs inside one jitted lax.scan "
                         "(single dispatch; full-batch, BN-free runs)")
@@ -118,6 +122,7 @@ def cmd_train(args) -> int:
         train_batch_size=args.train_batch_size,
         eval_batch_size=args.eval_batch_size,
         spmm_engine=args.spmm_engine,
+        spmm_bf16=getattr(args, "spmm_bf16", False),
         scan_epochs=args.scan_epochs,
         checkpoint_path=args.checkpoint_path,
         resume_from=args.resume_from,

@@ -117,6 +117,12 @@ class TrainingConfig:
     eval_batch_size: Optional[int] = None
     dtype: str = "float32"      # training compute dtype
     spmm_engine: str = "auto"   # auto | dense | coo | ell | hybrid | pallas
+    # fast half-precision tier for the dense-block engines: bf16 block/tile
+    # storage; on TPU the reorder_banded path additionally stages the X
+    # window in bf16 with 512-row blocks (measured 1.135 B edges/s vs 861 M,
+    # docs/PERFORMANCE.md). Precompute rounds to bf16 per hop — accuracy
+    # bands hold on the test suite, but keep False for exact-f32 parity.
+    spmm_bf16: bool = False
     mesh_shape: Sequence[int] = ()  # () => single device
     cache_dir: Optional[str] = None  # disk cache for propagated hop features
     checkpoint_path: Optional[str] = None  # save best-val params here

@@ -101,9 +101,15 @@ class PallasBandedAdj:
 
     def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
         nb, rb, w = self.blocks.shape
-        f = x.shape[1]
+        f_in = x.shape[1]
         wdtype = jnp.bfloat16 if self.window_bf16 else jnp.float32
         x32 = x.astype(wdtype)
+        # bf16 VMEM windows tile the lane dimension at 128: pad F up
+        # (Mosaic rejects unaligned bf16 slice shapes; observed at F=48)
+        f = f_in
+        if self.window_bf16 and f_in % 128:
+            f = (f_in + 127) // 128 * 128
+            x32 = jnp.pad(x32, ((0, 0), (0, f - f_in)))
         need = max(w, self.pad_to)
         if need > x32.shape[0]:  # pad so window DMAs never clip
             x32 = jnp.pad(x32, ((0, need - x32.shape[0]), (0, 0)))
@@ -131,7 +137,7 @@ class PallasBandedAdj:
             out_shape=jax.ShapeDtypeStruct((nb * rb, f), jnp.float32),
             interpret=self.interpret,
         )(self.los, self.blocks, x32)
-        out = out[: self.n_rows]
+        out = out[: self.n_rows, :f_in]
         return out.astype(x.dtype) if x.dtype != jnp.float32 else out
 
     def tree_flatten(self):

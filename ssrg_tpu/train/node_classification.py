@@ -152,6 +152,14 @@ def prepare(
         else:
             method = "cluster"
             dense_engine = "tiled"
+        engine_kwargs: dict = {}
+        if training_cfg.spmm_bf16:
+            # the measured-fastest tier (docs/PERFORMANCE.md round-3 push):
+            # bf16 block/tile storage; the Pallas kernel additionally stages
+            # the X window in bf16 over 512-row blocks
+            engine_kwargs["dtype"] = jnp.bfloat16
+            if dense_engine == "pallas_banded":
+                engine_kwargs.update(window_bf16=True, row_block=512)
         perm = reorder_permutation(adj_norm, method)
         adj_p, x_p, _, inverse = apply_permutation(
             adj_norm, perm, np.asarray(dataset.x)
@@ -160,7 +168,9 @@ def prepare(
             hops_p = cached_propagate(
                 adj_p, x_p, spec.prop_steps,
                 training_cfg.cache_dir, dense_engine,
-                tag=f"{spec.graph_op}:{model_cfg.r}:{method}",
+                tag=f"{spec.graph_op}:{model_cfg.r}:{method}"
+                    + (":bf16" if training_cfg.spmm_bf16 else ""),
+                engine_kwargs=engine_kwargs,
             )
             hops = jnp.take(hops_p, jnp.asarray(inverse), axis=1)
         except ValueError as exc:

@@ -233,3 +233,29 @@ def test_reorder_tiled_prepare_matches_default_hops(dataset):
     np.testing.assert_allclose(
         np.asarray(got.inputs), np.asarray(ref.inputs), rtol=2e-4, atol=2e-4
     )
+
+
+def test_reorder_tiled_bf16_tier_trains(dataset):
+    """spmm_bf16=True: half-precision dense-block storage (the measured
+    1.135 B edges/s tier on TPU) must stay inside the accuracy band."""
+    mc = ModelConfig(model_name="sgc", prop_steps=3)
+    tc = TrainingConfig(num_epochs=60, lr=0.05, spmm_engine="reorder_tiled",
+                        spmm_bf16=True)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    task = NodeClassification(dataset, spec, mc, tc)
+    assert task.best_test > 0.85
+
+
+def test_reorder_banded_bf16_tier_matches_f32_loosely(dataset):
+    """bf16 blocks through the full prepare() path stay within
+    half-precision tolerance of the f32 hop stack."""
+    from ssrg_tpu.train.node_classification import prepare
+
+    mc = ModelConfig(model_name="gamlp", prop_steps=3)
+    spec = load_model(mc, dataset.num_features, dataset.num_classes)
+    ref = prepare(spec, dataset, mc, TrainingConfig(spmm_engine="hybrid"))
+    got = prepare(spec, dataset, mc,
+                  TrainingConfig(spmm_engine="reorder_banded", spmm_bf16=True))
+    np.testing.assert_allclose(
+        np.asarray(got.inputs), np.asarray(ref.inputs), rtol=5e-2, atol=5e-2
+    )
