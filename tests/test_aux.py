@@ -315,3 +315,25 @@ def test_warmup_epochs_plumbed():
     )
     assert d_warm < 1e-6  # step 0 of the ramp: lr == 0
     assert d_cold > 1e-3
+
+
+def test_cached_propagate_engine_kwargs_and_tag_separation(tmp_path):
+    """engine_kwargs reaches the builder, and distinct tags (e.g. the
+    ':bf16' suffix prepare() appends) produce distinct cache entries — a
+    bf16 precompute must never be served from an f32 cache or vice versa."""
+    import jax.numpy as jnp
+
+    from ssrg_tpu.data.synthetic import sbm_graph
+    from ssrg_tpu.ops.normalize import sym_norm
+
+    g = sbm_graph(num_node=300, num_classes=3, num_features=8, seed=2)
+    adj = sym_norm(g.adj, 0.5)
+    h32 = np.asarray(cached_propagate(
+        adj, g.x, 2, str(tmp_path), "coo", tag="t"))
+    h16 = np.asarray(cached_propagate(
+        adj, g.x, 2, str(tmp_path), "dense", tag="t:bf16",
+        engine_kwargs={"dtype": jnp.bfloat16}))
+    files = list(tmp_path.glob("hops_*.npz"))
+    assert len(files) == 2, files
+    np.testing.assert_allclose(h16, h32, rtol=2e-2, atol=2e-2)
+    assert np.abs(h16 - h32).max() > 0  # bf16 storage actually used
