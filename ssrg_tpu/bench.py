@@ -199,17 +199,30 @@ def device_edges_per_s(
             diag["persistent_cache_new_entries"] = n_after - n_cache_before
             diag["persistent_cache_hit"] = n_after == n_cache_before
         diag["device"] = jax.devices()[0].platform
-        # roofline accounting (gather-engine traffic model,
-        # docs/PERFORMANCE.md): per hop the engine reads one F-row per edge
-        # (nnz·F·4 B) plus indices/weights (nnz·8 B) and writes N·F·4 B.
-        bytes_per_hop = adj.nnz * (f * 4 + 8) + adj.shape[0] * f * 4
-        flops_per_hop = 2 * adj.nnz * f
-        diag["achieved_gbps"] = round(bytes_per_hop * total_hops / dt / 1e9, 1)
-        diag["achieved_gflops"] = round(flops_per_hop * total_hops / dt / 1e9, 1)
-        if diag["device"] == "tpu":
-            # v5e (TPU v5 lite) peaks: ~819 GB/s HBM, ~197 bf16 TFLOPS
-            diag["hbm_frac"] = round(diag["achieved_gbps"] / 819.0, 3)
-            diag["mxu_frac"] = round(diag["achieved_gflops"] / 197_000.0, 4)
+        # roofline accounting: the traffic model below is the GATHER-engine
+        # one (per hop: one F-row read per edge = nnz·F·4 B, plus nnz·8 B of
+        # indices/weights, plus the N·F·4 B output write). It is only valid
+        # for the gather family — banded/tiled/pallas engines stream dense
+        # blocks with padded-zero work, so emitting these fields for them
+        # would report a wrong HBM fraction (ADVICE r3).
+        resolved = engine
+        if engine == "auto":
+            resolved = "dense" if adj.shape[0] <= 8192 else "hybrid"
+        if resolved in ("coo", "ell", "hybrid"):
+            bytes_per_hop = adj.nnz * (f * 4 + 8) + adj.shape[0] * f * 4
+            flops_per_hop = 2 * adj.nnz * f
+            diag["achieved_gbps"] = round(
+                bytes_per_hop * total_hops / dt / 1e9, 1
+            )
+            diag["achieved_gflops"] = round(
+                flops_per_hop * total_hops / dt / 1e9, 1
+            )
+            if diag["device"] == "tpu":
+                # v5e (TPU v5 lite) peaks: ~819 GB/s HBM, ~197 bf16 TFLOPS
+                diag["hbm_frac"] = round(diag["achieved_gbps"] / 819.0, 3)
+                diag["mxu_frac"] = round(
+                    diag["achieved_gflops"] / 197_000.0, 4
+                )
     return total_hops * adj.nnz / dt
 
 

@@ -193,12 +193,20 @@ def lpa_cluster(
 ) -> np.ndarray:
     """Label-propagation community labels over an undirected CSR (int32 [N]).
 
-    Native path: asynchronous in-place sweeps (OMP). Fallback: vectorized
-    numpy SYNCHRONOUS sweeps (mode of neighbor labels via lexsort +
-    run-length encoding) — same fixed points on community graphs, may need a
-    couple more sweeps. Role analog of the reference's ClusterData/METIS
+    Both paths run SYNCHRONOUS sweeps with ties broken to the smallest label
+    (the native C++ deliberately rejects async updates so results are
+    deterministic and bit-identical to this fallback): native = OMP C++ over
+    rows; fallback = vectorized numpy (mode of neighbor labels via lexsort +
+    run-length encoding). Role analog of the reference's ClusterData/METIS
     partitioning (``/root/reference/main.py:29-30``)."""
     n = indptr.shape[0] - 1
+    if indices.size >= 2**31:
+        raise ValueError(
+            f"lpa_cluster: nnz={indices.size} exceeds the int32 index limit "
+            "(2^31-1) of the native/numpy paths; cluster a subsampled or "
+            "partitioned graph instead (the out-of-core pipeline shards "
+            "papers100M-scale edge lists before clustering)"
+        )
     indptr = np.ascontiguousarray(indptr, np.int32)
     indices = np.ascontiguousarray(indices, np.int32)
     lib = load_library()

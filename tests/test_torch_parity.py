@@ -16,8 +16,9 @@ harness's CPU backend. Both sides see identical float32 feature matrices.
 
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
 
 from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
 from ssrg_tpu.data.synthetic import planetoid_like
