@@ -80,6 +80,10 @@ class WaveletConfig:
     tolerance: float = 1e-4
     scale: float = 0.5
     impulse_batch: int = 1024  # reference uses 1000 (base_model.py:237); 1024 aligns to lanes
+    # Φ construction is O(N²/impulse_batch) SpMM batches with dense [N, batch]
+    # intermediates — fine at Planetoid scale (seconds, see docs/API.md), but
+    # hours + ~100 GB of host thresholding at arxiv scale. Refuse past this.
+    max_nodes: int = 65_536
 
 
 @dataclass

@@ -120,6 +120,24 @@ def calculate_wavelets(
     columns, threshold coeff < tolerance, L1 normalize rows, report density.
     """
     n = adj.shape[0]
+    if n > cfg.max_nodes:
+        # same refuse-with-remedy contract as build_banded/build_tiled: the
+        # construction is O(N²/impulse_batch) Chebyshev batches, each with a
+        # dense [N, impulse_batch] intermediate thresholded on host — at
+        # N=200k that is ~40k full-graph SpMM chains and ~160 GB of host
+        # traffic, hours of wall time for a basis that is no longer sparse.
+        est_gb = n * n * 4 / 2**30
+        raise ValueError(
+            f"wavelet basis construction at N={n} exceeds the supported "
+            f"budget (max_nodes={cfg.max_nodes}): Φ is evaluated by "
+            f"{-(-n // cfg.impulse_batch)} batched impulse blocks with dense "
+            f"[N, {cfg.impulse_batch}] intermediates (~{est_gb:.0f} GB "
+            f"streamed through host thresholding). Wavelet models are a "
+            f"Planetoid-scale capability (reference base_model.py:236-265); "
+            f"for large graphs use a precompute model (sgc/ssgc/gamlp/...) "
+            f"or raise WaveletConfig.max_nodes explicitly if you accept the "
+            f"cost."
+        )
     lap = combinatorial_laplacian(adj)
     lmax = estimate_lmax(lap)
     lap_dev = device_adjacency(lap.astype(np.float32), engine)

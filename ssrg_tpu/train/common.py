@@ -132,6 +132,8 @@ def batch_iterator(idx: np.ndarray, batch_size: int, rng: np.random.Generator,
         w = np.ones(hi - lo, np.float32)
         if hi - lo < batch_size:
             pad = batch_size - (hi - lo)
-            batch = np.concatenate([batch, shuffled[:pad]])
+            # np.resize wraps cyclically, so padding stays correct even when
+            # the whole split is smaller than half a batch (pad > n)
+            batch = np.concatenate([batch, np.resize(shuffled, pad)])
             w = np.concatenate([w, np.zeros(pad, np.float32)])
         yield batch, w

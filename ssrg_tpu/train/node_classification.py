@@ -82,11 +82,24 @@ def prepare(
     # the reorder meta-engines apply to the hop-precompute path only (the
     # reorder is undone on the hop stack); naive/spectral/tuple paths fall
     # back to auto
-    basic_engine = (
-        "auto" if engine in ("reorder_banded", "reorder_tiled") else engine
-    )
+    is_meta = engine in ("reorder_banded", "reorder_tiled")
+    basic_engine = "auto" if is_meta else engine
+
+    def _warn_meta_degrade(path: str) -> None:
+        # observability for the silent degrade (round-3 weak #3): a user
+        # benchmarking e.g. GCN with --spmm_engine reorder_tiled gets hybrid
+        # and must be told, like the banded-fallback warning below
+        if is_meta:
+            from ssrg_tpu.logger import get_logger
+
+            get_logger().warning(
+                "spmm_engine=%s only applies to hop-precompute models; the "
+                "%s path for model %r uses engine='auto' instead",
+                engine, path, model_cfg.model_name,
+            )
 
     if spec.spectral:
+        _warn_meta_degrade("spectral")
         from ssrg_tpu.models.wavelet import prepare_spectral
 
         phi, phi_inv = prepare_spectral(
@@ -98,6 +111,7 @@ def prepare(
                         engine=basic_engine)
 
     if spec.naive:
+        _warn_meta_degrade("naive")
         adj_norm = spec.construct_adj(dataset.adj, model_cfg)
         adj_dev = device_adjacency(adj_norm, basic_engine)
         return Prepared(spec.module, x, False, adj_device=adj_dev,
@@ -105,12 +119,14 @@ def prepare(
                         engine=basic_engine)
 
     if spec.graph_op is None:
+        _warn_meta_degrade("featureless")
         return Prepared(spec.module, x, False,
                         preprocess_seconds=time.time() - t0,
                         engine=basic_engine)
 
     adj_norm = spec.construct_adj(dataset.adj, model_cfg)
     if isinstance(adj_norm, tuple):
+        _warn_meta_degrade("tuple-adjacency")
         devs = tuple(device_adjacency(a, basic_engine) for a in adj_norm)
         if spec.graph_op in ("magnetic", "magnetic_ppr"):
             # complex propagation; "last" aggregate over the (re, im) pair

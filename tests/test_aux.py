@@ -337,3 +337,18 @@ def test_cached_propagate_engine_kwargs_and_tag_separation(tmp_path):
     assert len(files) == 2, files
     np.testing.assert_allclose(h16, h32, rtol=2e-2, atol=2e-2)
     assert np.abs(h16 - h32).max() > 0  # bf16 storage actually used
+
+
+def test_batch_iterator_pads_when_split_smaller_than_half_batch():
+    """Regression: with n < batch_size/2 the wrap-pad used shuffled[:pad]
+    (only n elements), yielding a batch shorter than its weight vector."""
+    import numpy as np
+
+    from ssrg_tpu.train.common import batch_iterator
+
+    idx = np.arange(20)
+    rng = np.random.default_rng(0)
+    (b, w), = list(batch_iterator(idx, 64, rng, shuffle=False))
+    assert b.shape == (64,) and w.shape == (64,)
+    assert w.sum() == 20  # padding carries zero weight
+    assert set(b.tolist()) == set(range(20))

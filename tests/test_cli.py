@@ -85,3 +85,117 @@ def test_cli_autotune(capsys):
     out = capsys.readouterr().out
     payload = json.loads(out.strip().splitlines()[-1])
     assert payload["best"] in payload["ms_per_hop"]
+
+
+def test_cli_baseline_synthetic(capsys):
+    rc = main([
+        "baseline", "--synthetic", "--synthetic_nodes", "250",
+        "--synthetic_features", "32", "--model_name", "gcn",
+        "--hidden_dim", "16", "--num_epochs", "20", "--lr", "0.05",
+        "--runs", "1",
+    ])
+    assert rc == 0
+    assert "All runs:" in capsys.readouterr().out
+
+
+def test_cli_train_checkpoint_then_predict(tmp_path, capsys):
+    ckpt = tmp_path / "params.msgpack"
+    rc = main([
+        "train", "--synthetic", "--synthetic_nodes", "250",
+        "--synthetic_features", "32", "--num_epochs", "20",
+        "--model_name", "sgc", "--hidden_dim", "16", "--lr", "0.05",
+        "--checkpoint_path", str(ckpt),
+    ])
+    assert rc == 0 and ckpt.exists()
+    out_npy = tmp_path / "labels.npy"
+    rc = main([
+        "predict", "--synthetic", "--synthetic_nodes", "250",
+        "--synthetic_features", "32", "--model_name", "sgc",
+        "--hidden_dim", "16", "--checkpoint", str(ckpt),
+        "--nodes", "0,1,2,3", "--out", str(out_npy),
+    ])
+    assert rc == 0
+    import numpy as np
+
+    assert np.load(out_npy).shape == (4,)
+    assert "wrote 4 predictions" in capsys.readouterr().out
+
+
+def test_cli_ooc(tmp_path, capsys):
+    import numpy as np
+
+    from ssrg_tpu.data.synthetic import sbm_graph
+
+    g = sbm_graph(num_node=200, num_classes=3, num_features=16,
+                  p_in=0.06, p_out=0.003, feature_signal=1.2, seed=5)
+    pairs = np.unique(
+        np.sort(np.stack([g.edge.row, g.edge.col], axis=1), axis=1), axis=0
+    )
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    np.save(tmp_path / "edges.npy", pairs.T.astype(np.int64))
+    np.save(tmp_path / "features.npy", g.x.astype(np.float32))
+    np.save(tmp_path / "labels.npy", np.asarray(g.y, np.int64))
+    rc = main([
+        "ooc", "--edges", str(tmp_path / "edges.npy"),
+        "--features", str(tmp_path / "features.npy"),
+        "--labels", str(tmp_path / "labels.npy"),
+        "--work_dir", str(tmp_path / "work"), "--num_shards", "2",
+        "--model_name", "sgc", "--prop_steps", "2", "--hidden_dim", "16",
+        "--num_epochs", "15", "--lr", "0.05", "--train_batch_size", "64",
+    ])
+    assert rc == 0
+    assert "Best val:" in capsys.readouterr().out
+
+
+def test_cli_bench_tiny(capsys):
+    rc = main([
+        "bench", "--nodes", "1500", "--degree", "6", "--features", "16",
+        "--prop_steps", "2",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["metric"] == "khop_spmm_edges_per_s"
+    assert payload["value"] > 0
+    # dense engine resolved at this size: the gather-roofline fields must be
+    # absent (ADVICE r3: the traffic model is wrong for non-gather engines)
+    assert "hbm_frac" not in payload and "achieved_gbps" not in payload
+
+
+def test_cli_train_flag_plumbing(monkeypatch):
+    """Parser → TrainingConfig/ModelConfig plumbing (round-3 weak #6): a
+    typo'd argparse dest would silently drop a flag; capture the configs the
+    train command actually builds."""
+    captured = {}
+
+    import ssrg_tpu.train.node_classification as nc
+
+    class FakeTask:
+        def __init__(self, dataset, spec, model_cfg, train_cfg, verbose=False):
+            captured["model_cfg"] = model_cfg
+            captured["train_cfg"] = train_cfg
+            self.best_val = self.best_test = 0.0
+
+    monkeypatch.setattr(nc, "NodeClassification", FakeTask)
+    rc = main([
+        "train", "--synthetic", "--synthetic_nodes", "120",
+        "--synthetic_features", "8", "--model_name", "gamlp",
+        "--hidden_dim", "24", "--prop_steps", "4", "--num_layers", "3",
+        "--spmm_engine", "reorder_tiled", "--spmm_bf16",
+        "--scan_epochs", "--num_epochs", "17", "--lr", "0.02",
+        "--weight_decay", "3e-4", "--warmup_epochs", "5",
+        "--normalize_times", "2", "--seed", "99",
+        "--train_batch_size", "32", "--eval_batch_size", "64",
+        "--cache_dir", "/tmp/nope",
+    ])
+    assert rc == 0
+    t = captured["train_cfg"]
+    assert (t.spmm_engine, t.spmm_bf16, t.scan_epochs) == (
+        "reorder_tiled", True, True)
+    assert (t.num_epochs, t.lr, t.weight_decay, t.warmup_epochs) == (
+        17, 0.02, 3e-4, 5)
+    assert (t.normalize_times, t.seed) == (2, 99)
+    assert (t.train_batch_size, t.eval_batch_size) == (32, 64)
+    assert t.cache_dir == "/tmp/nope"
+    m = captured["model_cfg"]
+    assert (m.model_name, m.hidden_dim, m.prop_steps, m.num_layers) == (
+        "gamlp", 24, 4, 3)

@@ -259,3 +259,24 @@ def test_reorder_banded_bf16_tier_matches_f32_loosely(dataset):
     np.testing.assert_allclose(
         np.asarray(got.inputs), np.asarray(ref.inputs), rtol=5e-2, atol=5e-2
     )
+
+
+@pytest.mark.parametrize("model_name,path", [("gcn", "naive"), ("wavelet", "spectral")])
+def test_meta_engine_degrade_warns(dataset, model_name, path, caplog):
+    """reorder_* meta-engines silently degraded to 'auto' for naive/spectral
+    models (round-3 weak #3); prepare() must now log a warning naming the
+    path and the requested engine."""
+    import logging
+
+    from ssrg_tpu.train.node_classification import prepare
+
+    model_cfg = ModelConfig(model_name=model_name, hidden_dim=16, prop_steps=2)
+    train_cfg = TrainingConfig(spmm_engine="reorder_tiled")
+    small = planetoid_like(num_node=120, num_classes=3, num_features=12, seed=3)
+    spec = load_model(model_cfg, small.num_features, small.num_classes)
+    with caplog.at_level(logging.WARNING, logger="ssrg_tpu"):
+        prepare(spec, small, model_cfg, train_cfg)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(
+        "reorder_tiled" in m and path in m and "auto" in m for m in msgs
+    ), msgs

@@ -103,3 +103,24 @@ def test_wavelet_model_end_to_end():
     spec = load_model(cfg, ds.num_features, ds.num_classes)
     task = NodeClassification(ds, spec, cfg, tcfg)
     assert task.best_test > 0.7, f"wavelet test acc {task.best_test:.3f}"
+
+
+def test_wavelet_construction_refuses_at_scale():
+    """Scale guard (round-3 verdict ask 6): construction is O(N²/batch) with
+    dense [N, batch] intermediates; a metadata-scale N=200k adjacency must be
+    refused with an actionable message BEFORE any heavy work."""
+    import pytest
+
+    n = 200_000
+    # metadata-scale sparse matrix: build cost is O(nnz), trivially small
+    adj = sp.coo_matrix(
+        (np.ones(4, np.float32), ([0, 1, 2, 3], [1, 0, 3, 2])), shape=(n, n)
+    ).tocsr()
+    with pytest.raises(ValueError, match="max_nodes"):
+        calculate_wavelets(adj, WaveletConfig(), verbose=False)
+    with pytest.raises(ValueError, match="sgc"):
+        calculate_wavelets(adj, WaveletConfig(), verbose=False)
+    # raising the budget explicitly bypasses the guard (construction would
+    # then start; we only check the guard logic, not run it)
+    cfg = WaveletConfig(max_nodes=250_000)
+    assert n <= cfg.max_nodes
