@@ -28,11 +28,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ssrg_tpu.parallel.dist_spmm import (
     ShardedAdj,
+    ShardedHybridAdj,
+    comm_stats,
     dist_propagate,
+    dist_propagate_hybrid,
+    format_bytes,
     shard_adjacency,
+    shard_adjacency_hybrid,
     shard_features,
 )
-from ssrg_tpu.parallel.partition import RowPartition, partition_rows
+from ssrg_tpu.parallel.partition import (
+    RowPartition,
+    cluster_reorder_for_partition,
+    partition_rows,
+    partition_rows_hybrid,
+)
 from ssrg_tpu.train.common import make_optimizer
 
 
@@ -41,7 +51,7 @@ class SPMDTrainContext:
     """Everything needed to run sharded training steps."""
 
     mesh: Mesh
-    adj: ShardedAdj
+    adj: Any            # ShardedAdj | ShardedHybridAdj
     x: jax.Array              # [n_pad, F] node-sharded
     y: jax.Array              # [n_pad] node-sharded
     train_mask: jax.Array     # [n_pad] f32 node-sharded (0 on padding)
@@ -63,9 +73,23 @@ def build_spmd_context(
     axis: str = "graph",
     data_axis: Optional[str] = None,
     seed: int = 0,
+    local_engine: str = "hybrid",
+    comm: str = "all_gather",
+    reorder: Optional[str] = None,
 ) -> SPMDTrainContext:
     """Partition the graph over ``mesh``, initialize replicated params, and
     compile the full sharded train step.
+
+    ``local_engine`` picks the per-shard SpMM layout: ``"hybrid"`` (default,
+    round-4) runs the single-chip ELL+COO hybrid per row block inside
+    shard_map — ~5× the ``"coo"`` segment-sum path's measured scatter bound
+    (docs/PERFORMANCE.md). ``comm="halo"`` (hybrid only) exchanges only the
+    precomputed boundary rows via all_to_all instead of all-gathering full X
+    (SURVEY.md §7 halo plan); pair it with ``reorder="cluster"`` so shard
+    boundaries follow LPA communities and the halo stays small. With
+    ``reorder`` set, the context's x/y/mask (and the hop tensor) live in the
+    permuted node order — self-consistent for training since labels and mask
+    are permuted alike.
 
     With a 2-D mesh (``data_axis`` set), the propagation phase shards nodes
     over the ``graph`` axis only (adjacency row blocks replicated across the
@@ -74,26 +98,60 @@ def build_spmd_context(
     parallelism for the MLP, with XLA inserting the redistribution and the
     gradient psum from the sharding annotations alone.
     """
+    from ssrg_tpu.logger import get_logger
+
+    if reorder == "cluster":
+        adj_scipy, x, y, inverse = cluster_reorder_for_partition(
+            adj_scipy, x, y
+        )
+        train_idx = inverse[np.asarray(train_idx)]
+    elif reorder is not None:
+        raise ValueError(f"unknown reorder {reorder!r} (use 'cluster')")
+
     num_graph_shards = mesh.shape[axis]
-    part = partition_rows(adj_scipy, num_graph_shards)
-    sharded_adj = shard_adjacency(part, mesh, axis)
+    if comm == "halo" and local_engine != "hybrid":
+        raise ValueError("comm='halo' requires local_engine='hybrid'")
+    if local_engine == "hybrid":
+        # 256-row alignment feeds the ELL row-block scan at its production
+        # block size; on toy graphs (n < 256·D) it would dump every node into
+        # shard 0, so fall back to 8-row alignment there
+        n_nodes = adj_scipy.shape[0]
+        row_align = 256 if n_nodes >= 256 * num_graph_shards else 8
+        part = partition_rows_hybrid(
+            adj_scipy, num_graph_shards, halo=(comm == "halo"),
+            row_align=row_align,
+        )
+        sharded_adj = shard_adjacency_hybrid(part, mesh, axis)
+    elif local_engine == "coo":
+        part = partition_rows(adj_scipy, num_graph_shards)
+        sharded_adj = shard_adjacency(part, mesh, axis)
+    else:
+        raise ValueError(
+            f"unknown local_engine {local_engine!r} (use 'hybrid' or 'coo')"
+        )
     xs = shard_features(x, part, mesh, axis)
 
     # record the analytic ICI volume a real multi-chip run should be
     # validated against (BASELINE.md efficiency target)
-    from ssrg_tpu.logger import get_logger
-    from ssrg_tpu.parallel.dist_spmm import comm_stats
-
-    stats = comm_stats(num_graph_shards, part.block, x.shape[1], prop_steps)
+    stats = comm_stats(
+        num_graph_shards, part.block, x.shape[1], prop_steps,
+        mode=comm, halo_pad=getattr(part, "halo_pad", 0),
+    )
+    halo_note = (
+        f", halo {part.halo_pad}/{part.block} rows/shard "
+        f"(fraction {part.halo_fraction:.3f})"
+        if comm == "halo" else ""
+    )
     get_logger().info(
-        "spmd comm (all_gather, %d graph shards): %.1f MB/device/hop, "
-        "%.1f MB mesh total per %d-hop propagate, peak feature memory "
-        "%.1f MB/device",
-        num_graph_shards,
-        stats["bytes_per_device_per_hop"] / 2**20,
-        stats["bytes_mesh_total"] / 2**20,
+        "spmd comm (%s, local_engine=%s, %d graph shards): %s/device/hop, "
+        "%s mesh total per %d-hop propagate, peak feature memory "
+        "%s/device%s",
+        comm, local_engine, num_graph_shards,
+        format_bytes(stats["bytes_per_device_per_hop"]),
+        format_bytes(stats["bytes_mesh_total"]),
         prop_steps,
-        stats["peak_feature_bytes_per_device"] / 2**20,
+        format_bytes(stats["peak_feature_bytes_per_device"]),
+        halo_note,
     )
 
     n_pad = part.n_pad
@@ -121,9 +179,13 @@ def build_spmd_context(
     # the sharded adjacency is a jit ARGUMENT (partial-bound), not a closure
     # capture — captured device arrays become HLO constants (slow compiles,
     # remote-compile size limits at papers100M scale)
+    propagate_fn = (
+        dist_propagate_hybrid if local_engine == "hybrid" else dist_propagate
+    )
+
     @jax.jit
     def step_fn(adj_arg, params, opt_state, xs, y_dev, mask_dev, dropout_rng):
-        hops = dist_propagate(adj_arg, xs, prop_steps)  # [K+1, n_pad, F]
+        hops = propagate_fn(adj_arg, xs, prop_steps)  # [K+1, n_pad, F]
         # reshard node rows across the full mesh for the dense phase
         hops = jax.lax.with_sharding_constraint(hops, hops_train_spec)
 

@@ -161,3 +161,166 @@ def test_comm_stats_arithmetic():
     assert ag["bytes_mesh_total"] == ag["bytes_per_device_per_hop"] * 3 * 4
     assert ag["peak_feature_bytes_per_device"] == 4 * 1000 * 64 * 4
     assert ring["peak_feature_bytes_per_device"] == 2 * 1000 * 64 * 4
+
+
+# ---------------------------------------------------------------------------
+# Round-4: hybrid local engine under the mesh + halo-only exchange
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_shards", [2, 8])
+def test_hybrid_dist_propagate_matches_single_device(num_shards):
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_hybrid, shard_adjacency_hybrid,
+    )
+    from ssrg_tpu.parallel.partition import partition_rows_hybrid
+
+    p, x = _graph(seed=7)
+    mesh = make_mesh((num_shards,), ("graph",), jax.devices()[:num_shards])
+    part = partition_rows_hybrid(p, num_shards)
+    assert part.send_idx is None
+    adj = shard_adjacency_hybrid(part, mesh)
+    xs = shard_features(x, part, mesh)
+    hops = np.asarray(dist_propagate_hybrid(adj, xs, 3))
+
+    single = np.asarray(propagate(build_coo(p), x, 3))
+    for i in range(4):
+        np.testing.assert_allclose(
+            hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
+        np.testing.assert_allclose(hops[i][x.shape[0]:], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("num_shards", [2, 4, 8])
+def test_halo_dist_propagate_matches_single_device(num_shards):
+    """Halo-only exchange (SURVEY.md §7): parity with the all-gather path on
+    an arbitrary (non-clustered) graph — the plan must be exact even when the
+    halo is large."""
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_hybrid, shard_adjacency_hybrid,
+    )
+    from ssrg_tpu.parallel.partition import partition_rows_hybrid
+
+    p, x = _graph(seed=8)
+    mesh = make_mesh((num_shards,), ("graph",), jax.devices()[:num_shards])
+    part = partition_rows_hybrid(p, num_shards, halo=True)
+    assert part.send_idx is not None and part.halo_pad >= 1
+    adj = shard_adjacency_hybrid(part, mesh)
+    xs = shard_features(x, part, mesh)
+    hops = np.asarray(dist_propagate_hybrid(adj, xs, 3))
+
+    single = np.asarray(propagate(build_coo(p), x, 3))
+    for i in range(4):
+        np.testing.assert_allclose(
+            hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
+
+
+def test_hybrid_partition_tail_and_width():
+    """Hub rows overflow into the COO tail; every edge lands exactly once."""
+    from ssrg_tpu.parallel.partition import partition_rows_hybrid
+
+    rng = np.random.default_rng(9)
+    n = 300
+    a = (rng.uniform(size=(n, n)) < 0.03).astype(np.float32)
+    a[0, :] = 1.0  # hub row far over the p95 width
+    np.fill_diagonal(a, 0)
+    a = np.maximum(a, a.T)
+    p = sp.csr_matrix(a)
+    part = partition_rows_hybrid(p, 4, width=8)
+    total = int((part.ell_vals != 0).sum() + (part.tail_vals != 0).sum())
+    assert total == p.nnz
+    assert part.width == 8
+    assert (part.tail_vals != 0).sum() > 0  # the hub actually spilled
+
+
+def test_halo_plan_cluster_reorder_shrinks_halo():
+    """Cluster-aligned partitioning (round-3 verdict ask 2): on a community
+    graph, LPA reorder must shrink the halo far below the shuffled layout."""
+    from ssrg_tpu.data.synthetic import sbm_graph
+    from ssrg_tpu.parallel.partition import (
+        cluster_reorder_for_partition, partition_rows_hybrid,
+    )
+
+    g = sbm_graph(num_node=512, num_classes=8, num_features=4,
+                  p_in=0.12, p_out=0.002, seed=3)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(512)
+    shuffled = g.adj.tocsr()[perm][:, perm].tocsr()
+
+    part_raw = partition_rows_hybrid(shuffled, 8, halo=True, row_align=8)
+    adj_c, _, _, _ = cluster_reorder_for_partition(shuffled)
+    part_clu = partition_rows_hybrid(adj_c, 8, halo=True, row_align=8)
+    assert part_clu.halo_fraction < 0.5 * part_raw.halo_fraction, (
+        part_clu.halo_fraction, part_raw.halo_fraction,
+    )
+
+
+def test_spmd_context_hybrid_halo_cluster_trains():
+    """Full SPMD step with the round-4 fast path: cluster reorder → hybrid
+    per-shard local SpMM → halo-only exchange, on a 2-D mesh."""
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
+
+    mesh = make_mesh((4, 2), ("graph", "data"), jax.devices()[:8])
+    ds = planetoid_like(num_node=256, num_classes=4, num_features=16, seed=2,
+                        train_per_class=8, num_val=16, num_test=16)
+    cfg = ModelConfig(model_name="gamlp", prop_steps=2, hidden_dim=16,
+                      num_layers=2)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    p = normalize.sym_norm(ds.adj, cfg.r)
+    ctx = build_spmd_context(
+        p, ds.x, ds.y, ds.train_idx, spec.module, mesh, 2, lr=0.05,
+        data_axis="data", local_engine="hybrid", comm="halo",
+        reorder="cluster",
+    )
+    ctx, loss0 = run_steps(ctx, 1)
+    ctx, loss_end = run_steps(ctx, 15)
+    assert np.isfinite(loss_end) and loss_end < loss0
+
+
+def test_spmd_context_hybrid_matches_coo_hops():
+    """The hybrid and segment-sum distributed engines must produce the same
+    hop tensor (layout change only)."""
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_hybrid, shard_adjacency_hybrid,
+    )
+    from ssrg_tpu.parallel.partition import partition_rows_hybrid
+
+    p, x = _graph(n=260, seed=11)
+    mesh = make_mesh((4,), ("graph",), jax.devices()[:4])
+    part_coo = partition_rows(p, 4)
+    hops_coo = np.asarray(dist_propagate(
+        shard_adjacency(part_coo, mesh), shard_features(x, part_coo, mesh), 3
+    ))
+    part_h = partition_rows_hybrid(p, 4)
+    hops_h = np.asarray(dist_propagate_hybrid(
+        shard_adjacency_hybrid(part_h, mesh),
+        shard_features(x, part_h, mesh), 3,
+    ))
+    n = x.shape[0]
+    for i in range(4):
+        np.testing.assert_allclose(
+            hops_h[i][:n], hops_coo[i][:n], rtol=3e-5, atol=3e-5
+        )
+
+
+def test_comm_stats_halo_mode():
+    from ssrg_tpu.parallel.dist_spmm import comm_stats
+
+    h = comm_stats(num_shards=4, block=1000, feature_dim=64, prop_steps=3,
+                   mode="halo", halo_pad=96)
+    assert h["bytes_per_device_per_hop"] == 3 * 96 * 64 * 4
+    assert h["peak_feature_bytes_per_device"] == (1000 + 4 * 96) * 64 * 4
+    ag = comm_stats(num_shards=4, block=1000, feature_dim=64, prop_steps=3)
+    assert h["bytes_per_device_per_hop"] < ag["bytes_per_device_per_hop"]
+
+
+def test_format_bytes_legible_at_toy_scale():
+    from ssrg_tpu.parallel.dist_spmm import format_bytes
+
+    assert format_bytes(512) == "512 B"
+    assert "KB" in format_bytes(81920)
+    assert "MB" in format_bytes(3 * 2**20)
