@@ -203,3 +203,121 @@ def test_affinity_cluster_order_captures_inter_cluster_edges():
 
     f_aff, f_size = frac("affinity"), frac("size")
     assert f_aff > f_size + 0.05, (f_aff, f_size)
+
+
+def test_merge_clusters_merges_heavy_pairs():
+    """HEM must merge exactly the heavy-edge pairs when the size budget
+    admits one merge per cluster: 6 clusters of 10 nodes, heavy pairs
+    (0,1)/(2,3)/(4,5) weight 50, light ring weight 1, target 20."""
+    from ssrg_tpu.ops.reorder import merge_clusters
+
+    k, sz = 6, 10
+    inv = np.repeat(np.arange(k), sz)
+    counts = np.full(k, sz)
+    heavy = [(0, 1), (2, 3), (4, 5)]
+    light = [(i, (i + 1) % k) for i in range(k)]
+    rows, cols, data = [], [], []
+    for (u, v), w in [(p, 50.0) for p in heavy] + [(p, 1.0) for p in light]:
+        rows += [u, v]
+        cols += [v, u]
+        data += [w, w]
+    cg = sp.coo_matrix((data, (rows, cols)), shape=(k, k)).tocsr()
+    cg.sum_duplicates()
+    merged = merge_clusters(inv, cg, counts, target=2 * sz)
+    assert merged.shape == inv.shape
+    # exactly 3 merged clusters, each the union of one heavy pair
+    assert np.unique(merged).size == 3
+    for u, v in heavy:
+        mu = np.unique(merged[inv == u])
+        mv = np.unique(merged[inv == v])
+        assert mu.size == mv.size == 1 and mu[0] == mv[0]
+
+
+def test_merge_clusters_is_coarsening_and_respects_target():
+    """Random cluster graph: the output must be a strict coarsening of the
+    input partition (every input cluster maps to ONE merged id), ids must be
+    dense 0..k'-1, and no merged cluster formed by merging may exceed the
+    node-count target."""
+    from ssrg_tpu.ops.reorder import merge_clusters
+
+    rng = np.random.default_rng(7)
+    k, n = 40, 1000
+    inv = rng.integers(0, k, n)
+    inv[:k] = np.arange(k)  # every cluster non-empty
+    counts = np.bincount(inv, minlength=k)
+    e = 200
+    u = rng.integers(0, k, e)
+    v = rng.integers(0, k, e)
+    keep = u != v
+    cg = sp.coo_matrix(
+        (rng.uniform(1, 9, keep.sum()), (u[keep], v[keep])), shape=(k, k)
+    ).tocsr()
+    cg = cg + cg.T
+    target = 80
+    merged = merge_clusters(inv, cg, counts, target=target)
+    k2 = merged.max() + 1
+    assert np.array_equal(np.unique(merged), np.arange(k2))  # dense ids
+    assert k2 < k  # something merged
+    # coarsening: each input cluster lands wholly in one merged cluster
+    for c in range(k):
+        assert np.unique(merged[inv == c]).size == 1
+    merged_counts = np.bincount(merged)
+    # any merged cluster combining >=2 inputs must respect the budget
+    inputs_per_merged = np.zeros(k2, np.int64)
+    for c in range(k):
+        inputs_per_merged[merged[inv == c][0]] += 1
+    assert (merged_counts[inputs_per_merged >= 2] <= target).all()
+
+
+def _hierarchical_community_graph(n=8192, comm=32, group=8, intra_deg=8,
+                                  sib_deg=2, uni_deg=1, seed=13):
+    """Two-level community graph with SHUFFLED ids: 32-node communities in
+    256-node super-communities; inter-edges mostly go to SIBLING communities
+    plus a uniform sprinkle that makes the contracted cluster graph an
+    expander (so unweighted RCM cannot recover sibling adjacency — only
+    weight-aware heavy-edge matching can)."""
+    rng = np.random.default_rng(seed)
+    cluster_of = np.arange(n) // comm
+    group_base = (cluster_of // group) * group
+    r_in = np.repeat(np.arange(n), intra_deg)
+    c_in = cluster_of[r_in] * comm + rng.integers(0, comm, r_in.shape)
+    r_s = np.repeat(np.arange(n), sib_deg)
+    sib = group_base[r_s] + rng.integers(0, group, r_s.shape)
+    sib = np.where(sib == cluster_of[r_s],
+                   group_base[r_s] + (sib - group_base[r_s] + 1) % group, sib)
+    c_s = sib * comm + rng.integers(0, comm, r_s.shape)
+    r_u = np.repeat(np.arange(n), uni_deg)
+    c_u = rng.integers(0, n, r_u.shape)
+    r = np.concatenate([r_in, r_s, r_u])
+    c = np.concatenate([c_in, c_s, c_u])
+    keep = r != c
+    shuf = rng.permutation(n)
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
+        shape=(n, n),
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = 1.0
+    return adj
+
+
+def test_hierarchical_merge_raises_tiled_fraction():
+    """Round-4 verdict ask 3: on a graph with NESTED community structure,
+    heavy-edge-matching agglomeration (merge_target) must capture the
+    sibling inter-community edges in dense tiles, beating the flat
+    affinity ordering's tiled_fraction by a clear margin."""
+    from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    adj = _hierarchical_community_graph()
+
+    def frac(**kw):
+        perm = cluster_permutation(adj, **kw)
+        adj_p, _, _, _ = apply_permutation(adj, perm)
+        t = build_tiled(adj_p, row_block=64, tile_cols=256,
+                        min_edges_per_tile=48, min_tiled_fraction=0.05)
+        return t.tiled_fraction
+
+    f_flat = frac()
+    f_merged = frac(merge_target=256)
+    assert f_merged > f_flat + 0.05, (f_flat, f_merged)
