@@ -56,6 +56,57 @@ def shuffled_community_graph(n, comm=512, intra_deg=10, inter_deg=2, seed=0):
     return adj
 
 
+def nested_community_graph(n, comm=512, group=4, intra_deg=10, sib_deg=2,
+                           uni_deg=1, seed=0):
+    """TWO-LEVEL community graph with SHUFFLED ids: ``comm``-node communities
+    nested in ``comm*group``-node super-communities. Inter-community edges
+    split into a SIBLING part (within the super-community — the nested
+    structure real ogbn graphs have) and a uniform sprinkle. The flat
+    generator's uniform inter-edges are untileable by construction (its
+    tiled_fraction ceiling IS the intra fraction); this is the regime where
+    hierarchical merging (``cluster_permutation(merge_target=comm*group)``)
+    has structure to recover."""
+    rng = np.random.default_rng(seed)
+    cluster_of = np.arange(n, dtype=np.int64) // comm
+    group_base = (cluster_of // group) * group
+    r_in = np.repeat(np.arange(n, dtype=np.int64), intra_deg)
+    c_in = np.minimum(cluster_of[r_in] * comm
+                      + rng.integers(0, comm, r_in.shape), n - 1)
+    r_s = np.repeat(np.arange(n, dtype=np.int64), sib_deg)
+    sib = group_base[r_s] + rng.integers(0, group, r_s.shape)
+    sib = np.where(sib == cluster_of[r_s],
+                   group_base[r_s] + (sib - group_base[r_s] + 1) % group, sib)
+    c_s = np.minimum(sib * comm + rng.integers(0, comm, r_s.shape), n - 1)
+    r_u = np.repeat(np.arange(n, dtype=np.int64), uni_deg)
+    c_u = rng.integers(0, n, r_u.shape)
+    r = np.concatenate([r_in, r_s, r_u])
+    c = np.concatenate([c_in, c_s, c_u])
+    keep = r != c
+    shuf = rng.permutation(n)
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
+        shape=(n, n),
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = 1.0
+    return adj
+
+
+def host_tiled_fraction(csr, row_block=256, tile_cols=512,
+                        min_edges_per_tile=48):
+    """``build_tiled``'s dense-tile fraction computed host-side in numpy
+    (no jax/device work) — for fraction-only ablations that must not claim
+    the TPU relay."""
+    n, m = csr.shape
+    rows_of = np.repeat(np.arange(n), np.diff(csr.indptr))
+    num_segs = -(-m // tile_cols)
+    pair_key = (rows_of // row_block).astype(np.int64) * num_segs \
+        + csr.indices // tile_cols
+    uniq, counts = np.unique(pair_key, return_counts=True)
+    dense = counts >= min_edges_per_tile
+    return counts[dense].sum() / max(csr.nnz, 1), int(dense.sum())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1_048_576)
@@ -64,7 +115,47 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--comm", type=int, default=512)
     ap.add_argument("--skip_autotune", action="store_true")
+    ap.add_argument("--skip_hybrid", action="store_true",
+                    help="skip the raw-hybrid baseline timing")
+    ap.add_argument("--generator", choices=("flat", "nested"), default="flat")
+    ap.add_argument("--group", type=int, default=4,
+                    help="communities per super-community (nested)")
+    ap.add_argument("--sib_deg", type=int, default=2)
+    ap.add_argument("--uni_deg", type=int, default=1)
+    ap.add_argument("--merge_target", type=int, nargs="+", default=[0],
+                    help="hierarchical HEM merge budget(s) (0 = flat LPA); "
+                         "several values sweep in ONE process (one relay "
+                         "claim)")
+    ap.add_argument("--fraction_only", action="store_true",
+                    help="host-side tiled_fraction ablation (numpy only — "
+                         "no jax import, never claims the TPU relay)")
     args = ap.parse_args()
+
+    if args.fraction_only:
+        from ssrg_tpu.ops.normalize import sym_norm
+        from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
+
+        t0 = time.perf_counter()
+        if args.generator == "nested":
+            adj = nested_community_graph(
+                args.nodes, comm=args.comm, group=args.group,
+                sib_deg=args.sib_deg, uni_deg=args.uni_deg,
+            )
+        else:
+            adj = shuffled_community_graph(args.nodes, comm=args.comm)
+        adj_n = sym_norm(adj, 0.5)
+        for mt in args.merge_target:
+            t1 = time.perf_counter()
+            perm = cluster_permutation(adj_n, merge_target=mt)
+            adj_p, _, _, _ = apply_permutation(adj_n, perm)
+            frac, tiles = host_tiled_fraction(adj_p)
+            print(json.dumps(dict(
+                phase="fraction_only", generator=args.generator,
+                nodes=args.nodes, nnz=int(adj_n.nnz), group=args.group,
+                merge_target=mt, tiled_fraction=round(frac, 4),
+                num_tiles=tiles, seconds=round(time.perf_counter() - t1, 1),
+            )), flush=True)
+        return 0
 
     import jax
     import jax.numpy as jnp
@@ -84,36 +175,22 @@ def main() -> int:
          device=jax.devices()[0].platform)
 
     t0 = time.perf_counter()
-    adj = shuffled_community_graph(args.nodes, comm=args.comm)
+    if args.generator == "nested":
+        adj = nested_community_graph(
+            args.nodes, comm=args.comm, group=args.group,
+            sib_deg=args.sib_deg, uni_deg=args.uni_deg,
+        )
+    else:
+        adj = shuffled_community_graph(args.nodes, comm=args.comm)
     adj_n = sym_norm(adj, 0.5)
     emit(phase="generate+normalize", seconds=round(time.perf_counter() - t0, 2),
-         nodes=args.nodes, nnz=int(adj_n.nnz))
+         nodes=args.nodes, nnz=int(adj_n.nnz), generator=args.generator)
 
-    t0 = time.perf_counter()
-    perm = cluster_permutation(adj_n)
-    adj_p, _, _, _ = apply_permutation(adj_n, perm)
     from ssrg_tpu.native import lpa_cluster
     labels = lpa_cluster(adj_n.indptr, adj_n.indices)
     _, counts = np.unique(labels, return_counts=True)
-    emit(phase="cluster_reorder", seconds=round(time.perf_counter() - t0, 2),
-         clusters=int(counts.size), largest=int(counts.max()),
+    emit(phase="lpa", clusters=int(counts.size), largest=int(counts.max()),
          median=int(np.median(counts)))
-
-    t0 = time.perf_counter()
-    tiled = build_tiled(adj_p, dtype=jnp.bfloat16, device_scatter=True,
-                        mem_budget_bytes=8 << 30)
-    jax.tree_util.tree_leaves(tiled)[0].block_until_ready()
-    nb, p_num, tile_elems = tiled.tile_stats
-    emit(phase="build_tiled", seconds=round(time.perf_counter() - t0, 2),
-         tiled_fraction=round(tiled.tiled_fraction, 4), nb=nb,
-         num_tiles=p_num,
-         tiles_gib=round(p_num * tile_elems * 2 / 2**30, 2))
-
-    t0 = time.perf_counter()
-    hybrid = build_hybrid(adj_n)  # RAW layout — what a user has without us
-    jax.tree_util.tree_leaves(hybrid)[0].block_until_ready()
-    emit(phase="build_hybrid", seconds=round(time.perf_counter() - t0, 2),
-         ell_width=hybrid.ell.width)
 
     x = jax.jit(
         lambda: jax.random.normal(
@@ -121,23 +198,61 @@ def main() -> int:
         )
     )()
     total_hops = args.iters * args.prop_steps
-    results = {}
-    for name, eng in (("tiled(cluster-reordered)", tiled),
-                      ("hybrid(raw)", hybrid)):
+
+    def measure(name, eng, **extra):
         _ = np.asarray(_many_hops(eng, x, total_hops))  # compile + warm
         t0 = time.perf_counter()
         _ = np.asarray(_many_hops(eng, x, total_hops))
         dt = time.perf_counter() - t0
         eps = total_hops * adj_n.nnz / dt
-        results[name] = eps
-        emit(phase="measure", engine=name, ms_per_hop=round(dt / total_hops * 1e3, 2),
-             edges_per_s=round(eps, 1))
+        emit(phase="measure", engine=name,
+             ms_per_hop=round(dt / total_hops * 1e3, 2),
+             edges_per_s=round(eps, 1), **extra)
+        return eps
 
-    speedup = results["tiled(cluster-reordered)"] / results["hybrid(raw)"]
-    emit(metric="tiled_cluster_pipeline_speedup", value=round(speedup, 2),
-         unit="x vs raw hybrid", nodes=args.nodes, nnz=int(adj_n.nnz),
-         tiled_edges_per_s=round(results["tiled(cluster-reordered)"], 1),
-         tiled_fraction=round(tiled.tiled_fraction, 4))
+    tiled_results = {}
+    for mt in args.merge_target:
+        t0 = time.perf_counter()
+        perm = cluster_permutation(adj_n, merge_target=mt)
+        adj_p, _, _, _ = apply_permutation(adj_n, perm)
+        emit(phase="cluster_reorder", merge_target=mt,
+             seconds=round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        tiled = build_tiled(adj_p, dtype=jnp.bfloat16, device_scatter=True,
+                            mem_budget_bytes=8 << 30)
+        jax.tree_util.tree_leaves(tiled)[0].block_until_ready()
+        nb, p_num, tile_elems = tiled.tile_stats
+        emit(phase="build_tiled", merge_target=mt,
+             seconds=round(time.perf_counter() - t0, 2),
+             tiled_fraction=round(tiled.tiled_fraction, 4), nb=nb,
+             num_tiles=p_num,
+             tiles_gib=round(p_num * tile_elems * 2 / 2**30, 2))
+        eps = measure(f"tiled(merge_target={mt})", tiled, merge_target=mt)
+        tiled_results[mt] = (eps, tiled.tiled_fraction)
+        del tiled, adj_p  # free HBM before the next pack
+
+    hybrid_eps = None
+    if not args.skip_hybrid:
+        t0 = time.perf_counter()
+        hybrid = build_hybrid(adj_n)  # RAW layout — what a user has without us
+        jax.tree_util.tree_leaves(hybrid)[0].block_until_ready()
+        emit(phase="build_hybrid", seconds=round(time.perf_counter() - t0, 2),
+             ell_width=hybrid.ell.width)
+        hybrid_eps = measure("hybrid(raw)", hybrid)
+        del hybrid
+
+    best_mt = max(tiled_results, key=lambda m: tiled_results[m][0])
+    summary = dict(
+        metric="tiled_cluster_pipeline_speedup",
+        unit="x vs raw hybrid", nodes=args.nodes, nnz=int(adj_n.nnz),
+        generator=args.generator, merge_target=best_mt,
+        tiled_edges_per_s=round(tiled_results[best_mt][0], 1),
+        tiled_fraction=round(tiled_results[best_mt][1], 4),
+    )
+    if hybrid_eps is not None:
+        summary["value"] = round(tiled_results[best_mt][0] / hybrid_eps, 2)
+    emit(**summary)
 
     if not args.skip_autotune:
         # the autotuner's own pick on a quarter-scale slice of the same

@@ -226,6 +226,158 @@ def device_edges_per_s(
     return total_hops * adj.nnz / dt
 
 
+def make_community_graph(
+    num_nodes: int, comm: int = 512, intra_deg: int = 10, inter_deg: int = 2,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """Products-density community graph with SHUFFLED node ids — the raw
+    input whose clustered structure the locality pipeline must discover
+    itself (same construction as
+    ``benchmarks/tiled_cluster_pipeline_bench.py``)."""
+    rng = np.random.default_rng(seed)
+    base = (np.arange(num_nodes, dtype=np.int64) // comm) * comm
+    r_in = np.repeat(np.arange(num_nodes, dtype=np.int64), intra_deg)
+    # clip: the last community is truncated when comm does not divide n
+    c_in = np.minimum(base[r_in] + rng.integers(0, comm, r_in.shape),
+                      num_nodes - 1)
+    r_out = np.repeat(np.arange(num_nodes, dtype=np.int64), inter_deg)
+    c_out = rng.integers(0, num_nodes, r_out.shape)
+    r = np.concatenate([r_in, r_out])
+    c = np.concatenate([c_in, c_out])
+    keep = r != c
+    shuf = rng.permutation(num_nodes)
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
+        shape=(num_nodes, num_nodes),
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = 1.0
+    return adj
+
+
+def _scan_hops_edges_per_s(adj_dev, x_dev, nnz: int, total_hops: int) -> float:
+    """Amortized-scan throughput of ``total_hops`` SpMM hops (one dispatch,
+    tiny fetched output — the relay measurement protocol)."""
+    from functools import partial
+
+    import jax
+
+    @partial(jax.jit, static_argnames=("hops",))
+    def many_hops(a, h0, hops):
+        def hop(h, _):
+            return a.spmm(h), None
+
+        out, _ = jax.lax.scan(hop, h0, None, length=hops)
+        return out[0, :2] + out[-1, :2]
+
+    _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))  # compile + warm
+    t0 = time.perf_counter()
+    _ = np.asarray(many_hops(adj_dev, x_dev, total_hops))
+    return total_hops * nnz / (time.perf_counter() - t0)
+
+
+def fast_tier_metrics(
+    num_nodes: int = 169_343,
+    num_features: int = 128,
+    prop_steps: int = 3,
+    iters: int = 10,
+) -> dict:
+    """Scoreboard rows for the flagship LOCALITY engines (round-3 verdict
+    "weak #1": the headline hybrid number on a uniformly random graph is the
+    one topology the fast tiers cannot serve, so a regression in them was
+    driver-invisible). Measured in the SAME process as the headline (one
+    relay claim):
+
+    - ``clustered_edges_per_s``: the REAL pipeline — raw shuffled community
+      graph → native LPA ``cluster_permutation`` → ``build_tiled`` (bf16,
+      device scatter) → K-hop scan (docs/PERFORMANCE.md "REAL pipeline").
+    - ``banded_pallas_edges_per_s``: the window-DMA Pallas kernel, bf16
+      storage + bf16-staged window, row_block 512 — the measured-fastest
+      tier (docs/PERFORMANCE.md: 1.135 B edges/s). Storage is generated ON
+      DEVICE with the builder's exact shapes (shipping ~0.8 GiB of blocks
+      through the ~3-4 MB/s relay teaches nothing about kernel speed);
+      edges/s is accounted at the arxiv-scale model edge count, matching
+      ``benchmarks/banded_kernel_bench.py``.
+
+    Each tier degrades to an ``*_error`` field instead of failing the
+    headline. On CPU (fallback/test runs) sizes shrink and the Pallas kernel
+    runs in interpret mode — the numbers are then only liveness checks.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out: dict = {}
+    on_tpu = jax.default_backend() != "cpu"
+    total_hops = iters * prop_steps
+
+    try:
+        from ssrg_tpu.ops.normalize import sym_norm
+        from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
+        from ssrg_tpu.ops.sparse import build_tiled
+
+        n_c = num_nodes if on_tpu else 32_768
+        adj = sym_norm(make_community_graph(n_c), 0.5)
+        t0 = time.perf_counter()
+        perm = cluster_permutation(adj)
+        adj_p, _, _, _ = apply_permutation(adj, perm)
+        tiled = build_tiled(
+            adj_p, dtype=jnp.bfloat16, device_scatter=on_tpu,
+            mem_budget_bytes=8 << 30,
+        )
+        jax.tree_util.tree_leaves(tiled)[0].block_until_ready()
+        out["clustered_build_s"] = round(time.perf_counter() - t0, 1)
+        x = jax.jit(
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(0), (n_c, num_features), jnp.float32
+            )
+        )()
+        out["clustered_edges_per_s"] = round(
+            _scan_hops_edges_per_s(tiled, x, adj.nnz, total_hops), 1
+        )
+        out["clustered_tiled_fraction"] = round(tiled.tiled_fraction, 4)
+        out["clustered_num_nodes"] = n_c
+        del tiled, x
+    except Exception as exc:  # noqa: BLE001 — scoreboard must not die
+        out["clustered_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    try:
+        from ssrg_tpu.ops.pallas_banded import PallasBandedAdj
+
+        row_block, window = 512, 2432  # bandwidth-1000 band at rb512
+        nb = 330 if on_tpu else 2      # 330*512 ≈ arxiv N
+        nnz_model = 2_489_237 if on_tpu else 10_000
+        n = nb * row_block
+
+        @jax.jit
+        def gen_blocks():
+            return jax.random.normal(
+                jax.random.PRNGKey(0), (nb, row_block, window), jnp.float32
+            ).astype(jnp.bfloat16)
+
+        blocks = gen_blocks()
+        los = np.minimum(
+            np.maximum(np.arange(nb) * row_block - window // 2, 0), n - window
+        )
+        los = ((los // 16) * 16).astype(np.int32)
+        banded = PallasBandedAdj(
+            blocks, jnp.asarray(los), n, n, row_block,
+            interpret=not on_tpu, window_bf16=True,
+        )
+        x = jax.jit(
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(1), (n, num_features), jnp.float32
+            )
+        )()
+        hops = total_hops if on_tpu else 2
+        out["banded_pallas_edges_per_s"] = round(
+            _scan_hops_edges_per_s(banded, x, nnz_model, hops), 1
+        )
+        del banded, blocks, x
+    except Exception as exc:  # noqa: BLE001
+        out["banded_pallas_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    return out
+
+
 def run_bench(
     num_nodes: int = 169_343,
     avg_degree: float = 13.7,
@@ -235,6 +387,7 @@ def run_bench(
     iters: int = 10,
     seed: int = 0,
     emit: bool = True,
+    fast_tiers: bool = True,
 ) -> dict:
     adj, x = make_benchmark_graph(num_nodes, avg_degree, num_features, seed)
     diag: dict = {}
@@ -257,6 +410,12 @@ def run_bench(
         "engine": engine,
         **diag,
     }
+    if fast_tiers:
+        # same process: the relay claim is already paid; a regression in the
+        # flagship locality engines becomes driver-visible (VERDICT r3 ask 4)
+        result.update(
+            fast_tier_metrics(num_nodes, num_features, prop_steps, iters)
+        )
     if emit:
         print(json.dumps(result))
     return result

@@ -57,6 +57,12 @@ def _add_training_flags(p: argparse.ArgumentParser) -> None:
                    help="bf16 dense-block storage for the reorder engines "
                         "(fastest measured tier; rounds the precompute to "
                         "half precision)")
+    p.add_argument("--cluster_merge_target", type=int, default=0,
+                   help="reorder_tiled only: merge LPA communities into "
+                        "super-clusters of up to N nodes (heavy-edge "
+                        "matching) before the tiled pack — raises the "
+                        "dense-tile fraction on fragmented community "
+                        "structure (0 = flat LPA)")
     p.add_argument("--scan_epochs", action="store_true",
                    help="run all epochs inside one jitted lax.scan "
                         "(single dispatch; full-batch, BN-free runs)")
@@ -123,6 +129,7 @@ def cmd_train(args) -> int:
         eval_batch_size=args.eval_batch_size,
         spmm_engine=args.spmm_engine,
         spmm_bf16=getattr(args, "spmm_bf16", False),
+        cluster_merge_target=getattr(args, "cluster_merge_target", 0),
         scan_epochs=args.scan_epochs,
         checkpoint_path=args.checkpoint_path,
         resume_from=args.resume_from,

@@ -127,6 +127,12 @@ class TrainingConfig:
     # docs/PERFORMANCE.md). Precompute rounds to bf16 per hop — accuracy
     # bands hold on the test suite, but keep False for exact-f32 parity.
     spmm_bf16: bool = False
+    # hierarchical clustering for the reorder_tiled meta-engine: >0 merges
+    # LPA communities into super-clusters of up to this many nodes via
+    # heavy-edge matching (ops/reorder.py::merge_clusters) before the tiled
+    # pack — raises tiled_fraction when LPA fragments the graph into
+    # communities smaller than the tile span (docs/PERFORMANCE.md).
+    cluster_merge_target: int = 0
     mesh_shape: Sequence[int] = ()  # () => single device
     cache_dir: Optional[str] = None  # disk cache for propagated hop features
     checkpoint_path: Optional[str] = None  # save best-val params here

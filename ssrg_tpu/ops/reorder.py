@@ -17,9 +17,15 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def reorder_permutation(adj: sp.spmatrix, method: str = "rcm") -> np.ndarray:
+def reorder_permutation(
+    adj: sp.spmatrix, method: str = "rcm", merge_target: int = 0,
+) -> np.ndarray:
     """Return perm where new_id = position of old_id in ``perm``
-    (i.e., ``perm[new_id] = old_id``)."""
+    (i.e., ``perm[new_id] = old_id``).
+
+    ``merge_target`` (cluster methods only): hierarchical HEM agglomeration
+    budget forwarded to :func:`cluster_permutation`; ``cluster2`` defaults it
+    to 1024 when unset."""
     csr = adj.tocsr()
     n = csr.shape[0]
     if method == "degree":
@@ -43,9 +49,9 @@ def reorder_permutation(adj: sp.spmatrix, method: str = "rcm") -> np.ndarray:
             order.append(nodes)
         return np.concatenate(order) if order else np.arange(n)
     if method in ("cluster", "lpa"):
-        return cluster_permutation(csr)
+        return cluster_permutation(csr, merge_target=merge_target)
     if method in ("cluster2", "hierarchical"):
-        return cluster_permutation(csr, merge_target=1024)
+        return cluster_permutation(csr, merge_target=merge_target or 1024)
     raise ValueError(f"unknown reorder method {method!r}")
 
 

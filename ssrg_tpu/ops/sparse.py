@@ -708,9 +708,8 @@ def build_tiled(
             local_r[dense_idx] * tile_cols
             + (cols[dense_idx] - pair_start[pair_rank])
         ).astype(np.int32)
-        tiles_dev = _tile_scatter(
-            jnp.asarray(pair_rank.astype(np.int32)),
-            jnp.asarray(off_of_edge), jnp.asarray(data[dense_idx]),
+        tiles_dev = _tile_scatter_chunked(
+            pair_rank.astype(np.int32), off_of_edge, data[dense_idx],
             p_num=p_num, row_block=row_block, tile_cols=tile_cols,
             dtype=jnp.dtype(dtype),
         )
@@ -747,16 +746,54 @@ def build_tiled(
     )
 
 
-@partial(jax.jit,
-         static_argnames=("p_num", "row_block", "tile_cols", "dtype"))
-def _tile_scatter(pair_of, offs, vals, p_num, row_block, tile_cols, dtype):
+# edges per scatter dispatch: TPU lays [E, 2] scatter indices out with lane
+# padding 2 -> 128 (a 64x blowup: observed 22.7 GB of index copy at E=44M),
+# so the device scatter is CHUNKED — each chunk's temp stays ~2 GB and the
+# accumulator buffer is donated across chunks (no per-chunk copy of the
+# multi-GiB tile array).
+_SCATTER_EDGE_CHUNK = 4_000_000
+
+
+@partial(jax.jit, static_argnames=("dtype",), donate_argnums=(0,))
+def _tile_scatter_add(flat, pair_of, offs, vals, dtype):
+    return flat.at[pair_of, offs].add(vals.astype(dtype))
+
+
+def _tile_scatter_chunked(
+    pair_of: np.ndarray, offs: np.ndarray, vals: np.ndarray,
+    p_num: int, row_block: int, tile_cols: int, dtype,
+) -> jnp.ndarray:
     """Materialize dense tiles on device from compact per-edge tuples
-    (~12 B/edge shipped vs the fully padded blocks). 2-D scatter keeps every
-    index below 2^31 at any graph scale; the reshape stays INSIDE the jit so
-    XLA emits a bitcast instead of a second multi-GiB buffer."""
+    (~12 B/edge shipped vs the fully padded blocks). 2-D (pair, offset)
+    scatter keeps every index below 2^31 at any graph scale; edges stream in
+    ``_SCATTER_EDGE_CHUNK`` batches into a donated accumulator (see the
+    constant's note on the TPU index-layout blowup); the final reshape is a
+    donated bitcast, not a second multi-GiB buffer."""
     flat = jnp.zeros((p_num, row_block * tile_cols), dtype)
-    flat = flat.at[pair_of, offs].add(vals.astype(dtype))
-    return flat.reshape(p_num, row_block, tile_cols)
+    e = pair_of.shape[0]
+    chunk = _SCATTER_EDGE_CHUNK
+    if e <= chunk:
+        flat = _tile_scatter_add(
+            flat, jnp.asarray(pair_of), jnp.asarray(offs),
+            jnp.asarray(vals), dtype=dtype,
+        )
+    else:
+        # pad to whole chunks so every dispatch reuses ONE compiled program;
+        # pad entries scatter 0.0 into tile 0 offset 0 (a no-op add)
+        n_chunks = -(-e // chunk)
+        pad = n_chunks * chunk - e
+        pr = np.concatenate([pair_of, np.zeros(pad, pair_of.dtype)])
+        of = np.concatenate([offs, np.zeros(pad, offs.dtype)])
+        va = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        for i in range(n_chunks):
+            s = slice(i * chunk, (i + 1) * chunk)
+            flat = _tile_scatter_add(
+                flat, jnp.asarray(pr[s]), jnp.asarray(of[s]),
+                jnp.asarray(va[s]), dtype=dtype,
+            )
+    return jax.jit(
+        lambda f: f.reshape(p_num, row_block, tile_cols), donate_argnums=0
+    )(flat)
 
 
 def device_adjacency(

@@ -278,13 +278,18 @@ def cluster_reorder_for_partition(
     x: Optional[np.ndarray] = None,
     y: Optional[np.ndarray] = None,
     max_sweeps: int = 20,
+    merge_target: int = 0,
 ):
     """Cluster-align node ids before partitioning (round-3 verdict ask 2):
     LPA communities + affinity cluster order (``ops.reorder``) renumber the
     graph so shard boundaries follow communities — the precondition for a
-    small halo. Returns ``(adj', x', y', inverse)`` with
-    ``inverse[old_id] = new_id`` for remapping index splits."""
+    small halo. ``merge_target`` > 0 additionally agglomerates fragmented
+    communities hierarchically (``ops.reorder.merge_clusters``), which keeps
+    sibling communities inside ONE shard and shrinks the halo further.
+    Returns ``(adj', x', y', inverse)`` with ``inverse[old_id] = new_id``
+    for remapping index splits."""
     from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
 
-    perm = cluster_permutation(adj, max_sweeps=max_sweeps)
+    perm = cluster_permutation(adj, max_sweeps=max_sweeps,
+                               merge_target=merge_target)
     return apply_permutation(adj, perm, x, y)

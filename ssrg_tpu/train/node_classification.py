@@ -168,6 +168,10 @@ def prepare(
         else:
             method = "cluster"
             dense_engine = "tiled"
+        merge_target = (
+            training_cfg.cluster_merge_target if engine == "reorder_tiled"
+            else 0
+        )
         engine_kwargs: dict = {}
         if training_cfg.spmm_bf16:
             # the measured-fastest tier (docs/PERFORMANCE.md round-3 push):
@@ -176,7 +180,8 @@ def prepare(
             engine_kwargs["dtype"] = jnp.bfloat16
             if dense_engine == "pallas_banded":
                 engine_kwargs.update(window_bf16=True, row_block=512)
-        perm = reorder_permutation(adj_norm, method)
+        perm = reorder_permutation(adj_norm, method,
+                                   merge_target=merge_target)
         adj_p, x_p, _, inverse = apply_permutation(
             adj_norm, perm, np.asarray(dataset.x)
         )
@@ -185,6 +190,7 @@ def prepare(
                 adj_p, x_p, spec.prop_steps,
                 training_cfg.cache_dir, dense_engine,
                 tag=f"{spec.graph_op}:{model_cfg.r}:{method}"
+                    + (f":mt{merge_target}" if merge_target else "")
                     + (":bf16" if training_cfg.spmm_bf16 else ""),
                 engine_kwargs=engine_kwargs,
             )

@@ -181,6 +181,7 @@ def test_cli_train_flag_plumbing(monkeypatch):
         "--synthetic_features", "8", "--model_name", "gamlp",
         "--hidden_dim", "24", "--prop_steps", "4", "--num_layers", "3",
         "--spmm_engine", "reorder_tiled", "--spmm_bf16",
+        "--cluster_merge_target", "1024",
         "--scan_epochs", "--num_epochs", "17", "--lr", "0.02",
         "--weight_decay", "3e-4", "--warmup_epochs", "5",
         "--normalize_times", "2", "--seed", "99",
@@ -191,6 +192,7 @@ def test_cli_train_flag_plumbing(monkeypatch):
     t = captured["train_cfg"]
     assert (t.spmm_engine, t.spmm_bf16, t.scan_epochs) == (
         "reorder_tiled", True, True)
+    assert t.cluster_merge_target == 1024
     assert (t.num_epochs, t.lr, t.weight_decay, t.warmup_epochs) == (
         17, 0.02, 3e-4, 5)
     assert (t.normalize_times, t.seed) == (2, 99)

@@ -300,6 +300,35 @@ def test_build_tiled_device_scatter_matches_host_build():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_tiled_device_scatter_chunked_matches_oracle(monkeypatch):
+    """Edge-chunked device scatter (TPU [E,2] scatter indices lane-pad 2→128,
+    so big packs must stream edges through a donated accumulator): forcing a
+    tiny chunk must reproduce the one-shot host pack exactly, including the
+    padded no-op tail entries."""
+    import scipy.sparse as sp
+
+    import ssrg_tpu.ops.sparse as sparse_mod
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    base = (np.arange(n) // 128) * 128
+    r = np.repeat(np.arange(n), 8)
+    c = base[r] + rng.integers(0, 128, r.shape)
+    keep = r != c
+    adj = sp.coo_matrix(
+        (np.ones(keep.sum(), np.float32), (r[keep], c[keep])), shape=(n, n)
+    )
+    adj = (adj + adj.T).tocsr()
+    adj.data[:] = rng.uniform(0.5, 1.0, adj.nnz).astype(np.float32)
+    kw = dict(row_block=64, tile_cols=128, min_edges_per_tile=16)
+    t_host = build_tiled(adj, device_scatter=False, **kw)
+    monkeypatch.setattr(sparse_mod, "_SCATTER_EDGE_CHUNK", 1000)  # ~15 chunks
+    t_dev = build_tiled(adj, device_scatter=True, **kw)
+    np.testing.assert_allclose(np.asarray(t_host.tiles),
+                               np.asarray(t_dev.tiles))
+
+
 def test_blockcoo_matches_coo_oracle():
     """2-D bucketed COO (small-window gather/scatter locality engine) must
     reproduce plain COO SpMM exactly, including ragged edge buckets and
