@@ -600,3 +600,198 @@ def dist_propagate_hybrid(
         return jnp.concatenate([x_block[None], hops], axis=0)
 
     return run(*operands, x_sharded)
+
+
+# ---------------------------------------------------------------------------
+# Sharded TILED local engine (round-4): dense-tile MXU matmuls on the
+# diagonal block + hybrid rest against the exchange table
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedTiledAdj:
+    """Row-partitioned adjacency with per-shard dense tiles + hybrid rest.
+
+    The flagship single-chip locality engine (``ops.sparse.TiledAdj`` — the
+    measured 2.46× raw-hybrid tier on cluster-reordered graphs,
+    docs/PERFORMANCE.md) under the mesh: diagonal-block tiles run as MXU
+    matmuls against contiguous windows of the shard's OWN feature block and
+    never touch the interconnect; only the rest edges (off-diagonal +
+    scattered) read the exchanged table. On cluster-aligned partitions
+    (``partition.cluster_reorder_for_partition``) that makes BOTH the comm
+    volume (halo mode) and the slow-gather edge count small — the compounding
+    the single-chip pipeline and the halo plan each deliver alone.
+    """
+
+    tiles: jax.Array      # f32/bf16 [D, P_pad, row_block, tile_cols]
+    starts: jax.Array     # int32 [D, P_pad] (LOCAL column starts)
+    block_of: jax.Array   # int32 [D, P_pad]
+    ell_cols: jax.Array   # int32 [D, block, width]
+    ell_vals: jax.Array   # f32   [D, block, width]
+    tail_rows: jax.Array  # int32 [D, tail_pad]
+    tail_cols: jax.Array  # int32 [D, tail_pad]
+    tail_vals: jax.Array  # f32   [D, tail_pad]
+    send_idx: Optional[jax.Array]  # int32 [D, D, halo_pad] | None
+    mesh: Mesh
+    axis: str
+    block: int
+    n: int
+    width: int
+    tail_chunk: int
+    halo_pad: int
+    tiled_fraction: float
+
+    def tree_flatten(self):
+        return (
+            self.tiles, self.starts, self.block_of,
+            self.ell_cols, self.ell_vals,
+            self.tail_rows, self.tail_cols, self.tail_vals, self.send_idx,
+        ), (self.mesh, self.axis, self.block, self.n, self.width,
+            self.tail_chunk, self.halo_pad, self.tiled_fraction)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_shards(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.num_shards
+
+
+def shard_adjacency_tiled(
+    part, mesh: Mesh, axis: str = "graph", dtype=jnp.float32,
+) -> ShardedTiledAdj:
+    """Place a :class:`~ssrg_tpu.parallel.partition.TiledPartition` so shard
+    d lives on mesh position d. ``dtype=jnp.bfloat16`` stores the dense
+    tiles in bf16 (the measured-fastest storage tier; matmuls still
+    accumulate f32)."""
+    s2 = NamedSharding(mesh, P(axis, None))
+    s3 = NamedSharding(mesh, P(axis, None, None))
+    s4 = NamedSharding(mesh, P(axis, None, None, None))
+    return ShardedTiledAdj(
+        tiles=jax.device_put(part.tiles.astype(dtype), s4),
+        starts=jax.device_put(part.starts, s2),
+        block_of=jax.device_put(part.block_of, s2),
+        ell_cols=jax.device_put(part.ell_cols, s3),
+        ell_vals=jax.device_put(part.ell_vals, s3),
+        tail_rows=jax.device_put(part.tail_rows, s2),
+        tail_cols=jax.device_put(part.tail_cols, s2),
+        tail_vals=jax.device_put(part.tail_vals, s2),
+        send_idx=(
+            None if part.send_idx is None
+            else jax.device_put(part.send_idx, s3)
+        ),
+        mesh=mesh, axis=axis, block=part.block, n=part.n,
+        width=part.width, tail_chunk=part.tail_chunk,
+        halo_pad=part.halo_pad, tiled_fraction=part.tiled_fraction,
+    )
+
+
+def _tiled_local_spmm(tiles, starts, block_of, h_block, axis: str):
+    """Flat-pair tile schedule against the shard's own feature block — the
+    ``TiledAdj.spmm`` loop per shard: one contiguous ``dynamic_slice`` window
+    + one MXU matmul per dense tile, accumulated into the tile's destination
+    row block. Pad tiles are all-zero (no-op adds into block 0)."""
+    p, rb, tc = tiles.shape
+    block, f = h_block.shape
+
+    def pair(acc, inputs):
+        tile, start, blk = inputs
+        xw = jax.lax.dynamic_slice(h_block, (start, 0), (tc, f))
+        y = jnp.dot(tile, xw.astype(tile.dtype),
+                    preferred_element_type=jnp.float32)
+        row0 = blk * rb
+        cur = jax.lax.dynamic_slice(acc, (row0, 0), (rb, f))
+        return jax.lax.dynamic_update_slice(acc, cur + y, (row0, 0)), None
+
+    acc0 = jax.lax.pcast(
+        jnp.zeros((block, f), jnp.float32), (axis,), to="varying"
+    )
+    out, _ = jax.lax.scan(pair, acc0, (tiles, starts, block_of))
+    return out
+
+
+def dist_propagate_tiled(
+    adj: ShardedTiledAdj,
+    x_sharded: jax.Array,
+    prop_steps: int,
+    row_block: int = 256,
+) -> jax.Array:
+    """K-hop propagation with the TILED local engine under shard_map.
+
+    Per hop: exchange (all-gather, or halo-only ``all_to_all`` per
+    ``adj.send_idx``), then per shard (a) dense-tile MXU matmuls on the
+    diagonal block against the shard's own rows — no exchange data touched —
+    and (b) the ELL gather-reduce + COO-tail rest against the exchange
+    table. Returns ``[K+1, n_pad, F]`` sharded over ``adj.axis``; equivalent
+    (f32 roundoff; bf16 tiles round the tile part) to single-device
+    ``ops.propagate``."""
+    axis = adj.axis
+    block = adj.block
+    num_shards = adj.num_shards
+    halo = adj.send_idx is not None
+    halo_pad = adj.halo_pad
+    tail_chunk = adj.tail_chunk
+    if block % row_block:
+        row_block = max(
+            rb for rb in (8, 16, 32, 64, 128, 256) if block % rb == 0
+        )
+
+    adj_specs = (
+        P(axis, None, None, None), P(axis, None), P(axis, None),
+        P(axis, None, None), P(axis, None, None),
+        P(axis, None), P(axis, None), P(axis, None),
+    )
+    operands = (
+        adj.tiles, adj.starts, adj.block_of,
+        adj.ell_cols, adj.ell_vals,
+        adj.tail_rows, adj.tail_cols, adj.tail_vals,
+    )
+    if halo:
+        adj_specs = adj_specs + (P(axis, None, None),)
+        operands = operands + (adj.send_idx,)
+
+    @partial(
+        shard_map,
+        mesh=adj.mesh,
+        in_specs=adj_specs + (P(axis, None),),
+        out_specs=P(None, axis, None),
+    )
+    def run(*args):
+        x_block = args[-1]
+        tiles, starts, block_of = args[0][0], args[1][0], args[2][0]
+        ec, ev = args[3][0], args[4][0]
+        tr, tc_, tv = args[5][0], args[6][0], args[7][0]
+        send = args[8][0] if halo else None   # [D, halo_pad]
+        f = x_block.shape[1]
+
+        def step(h_block, _):
+            if halo:
+                sends = jnp.take(
+                    h_block, send.reshape(-1), axis=0
+                ).reshape(num_shards, halo_pad, f)
+                recv = jax.lax.all_to_all(
+                    sends, axis, split_axis=0, concat_axis=0, tiled=False
+                )
+                table = jnp.concatenate(
+                    [h_block, recv.reshape(num_shards * halo_pad, f)], axis=0
+                )
+            else:
+                table = jax.lax.all_gather(h_block, axis, tiled=True)
+            h_next = _tiled_local_spmm(tiles, starts, block_of,
+                                       h_block, axis)
+            h_next = h_next + _ell_local_spmm(ec, ev, table, row_block)
+            h_next = h_next + _local_spmm(
+                tr, tc_, tv, table, block, tail_chunk, axis=axis
+            )
+            return h_next, h_next
+
+        _, hops = jax.lax.scan(step, x_block, None, length=prop_steps)
+        return jnp.concatenate([x_block[None], hops], axis=0)
+
+    return run(*operands, x_sharded)

@@ -29,12 +29,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ssrg_tpu.parallel.dist_spmm import (
     ShardedAdj,
     ShardedHybridAdj,
+    ShardedTiledAdj,
     comm_stats,
     dist_propagate,
     dist_propagate_hybrid,
+    dist_propagate_tiled,
     format_bytes,
     shard_adjacency,
     shard_adjacency_hybrid,
+    shard_adjacency_tiled,
     shard_features,
 )
 from ssrg_tpu.parallel.partition import (
@@ -42,6 +45,7 @@ from ssrg_tpu.parallel.partition import (
     cluster_reorder_for_partition,
     partition_rows,
     partition_rows_hybrid,
+    partition_rows_tiled,
 )
 from ssrg_tpu.train.common import make_optimizer
 
@@ -109,8 +113,8 @@ def build_spmd_context(
         raise ValueError(f"unknown reorder {reorder!r} (use 'cluster')")
 
     num_graph_shards = mesh.shape[axis]
-    if comm == "halo" and local_engine != "hybrid":
-        raise ValueError("comm='halo' requires local_engine='hybrid'")
+    if comm == "halo" and local_engine not in ("hybrid", "tiled"):
+        raise ValueError("comm='halo' requires local_engine hybrid|tiled")
     if local_engine == "hybrid":
         # 256-row alignment feeds the ELL row-block scan at its production
         # block size; on toy graphs (n < 256·D) it would dump every node into
@@ -122,12 +126,30 @@ def build_spmd_context(
             row_align=row_align,
         )
         sharded_adj = shard_adjacency_hybrid(part, mesh, axis)
+    elif local_engine == "tiled":
+        # diagonal-block MXU tiles + hybrid rest (the flagship locality
+        # engine under the mesh); tile geometry shrinks on toy graphs so
+        # every shard still holds rows
+        n_nodes = adj_scipy.shape[0]
+        big = n_nodes >= 256 * num_graph_shards
+        part = partition_rows_tiled(
+            adj_scipy, num_graph_shards, halo=(comm == "halo"),
+            row_block=256 if big else 8,
+            tile_cols=512 if big else 16,
+            min_edges_per_tile=48 if big else 4,
+        )
+        sharded_adj = shard_adjacency_tiled(part, mesh, axis)
+        get_logger().info(
+            "tiled local engine: tiled_fraction %.3f (%d tile pairs/shard)",
+            part.tiled_fraction, part.starts.shape[1],
+        )
     elif local_engine == "coo":
         part = partition_rows(adj_scipy, num_graph_shards)
         sharded_adj = shard_adjacency(part, mesh, axis)
     else:
         raise ValueError(
-            f"unknown local_engine {local_engine!r} (use 'hybrid' or 'coo')"
+            f"unknown local_engine {local_engine!r} "
+            "(use 'hybrid', 'tiled' or 'coo')"
         )
     xs = shard_features(x, part, mesh, axis)
 
@@ -179,9 +201,11 @@ def build_spmd_context(
     # the sharded adjacency is a jit ARGUMENT (partial-bound), not a closure
     # capture — captured device arrays become HLO constants (slow compiles,
     # remote-compile size limits at papers100M scale)
-    propagate_fn = (
-        dist_propagate_hybrid if local_engine == "hybrid" else dist_propagate
-    )
+    propagate_fn = {
+        "hybrid": dist_propagate_hybrid,
+        "tiled": dist_propagate_tiled,
+        "coo": dist_propagate,
+    }[local_engine]
 
     @jax.jit
     def step_fn(adj_arg, params, opt_state, xs, y_dev, mask_dev, dropout_rng):

@@ -11,7 +11,7 @@ feature row blocks.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp
@@ -143,6 +143,62 @@ class HybridPartition:
         return self.block + self.num_shards * self.halo_pad
 
 
+def _build_halo_plan(
+    shard_cols: list, num_shards: int, block: int, lane_pad: int,
+):
+    """Static host-side halo send/recv plan (SURVEY.md §7 "halo exchange
+    design") shared by the hybrid and tiled partitioners.
+
+    ``shard_cols[d]`` is the (possibly repeated) GLOBAL column indices shard
+    ``d``'s edges reference. Returns ``(send_idx, halo_pad, halo_fraction,
+    col_maps)``: ``send_idx[src, dst]`` lists the local row ids src ships to
+    dst each hop (padded to the max pair size so the ``all_to_all`` is
+    static), and ``col_maps[d] = (sorted_halo_cols, table_idx)`` maps each
+    non-local column to its position in the receiver's gather table
+    ``[own block ‖ recv buffer]``."""
+    halos = []      # per shard: sorted unique non-local global cols
+    for d, cols in enumerate(shard_cols):
+        cols_d = np.unique(cols)
+        own = (cols_d >= d * block) & (cols_d < (d + 1) * block)
+        halos.append(cols_d[~own].astype(np.int64))
+    sizes = [
+        [int(((h // block) == src).sum()) for src in range(num_shards)]
+        for h in halos
+    ]
+    halo_pad = max(
+        1, _round_up(max((max(s) for s in sizes), default=1), lane_pad)
+    )
+    send_idx = np.zeros((num_shards, num_shards, halo_pad), np.int32)
+    for dst in range(num_shards):
+        h = halos[dst]
+        owner = h // block
+        for src in range(num_shards):
+            rows_src = (h[owner == src] - src * block).astype(np.int32)
+            send_idx[src, dst, : rows_src.size] = rows_src
+    halo_fraction = float(np.mean([len(h) for h in halos]) / max(block, 1))
+    col_maps = []
+    for d, h in enumerate(halos):
+        owner = h // block
+        group_start = np.searchsorted(owner, np.arange(num_shards))
+        j = np.arange(h.size) - group_start[owner]
+        table_idx = (block + owner * halo_pad + j).astype(np.int64)
+        col_maps.append((h, table_idx))
+    return send_idx, halo_pad, halo_fraction, col_maps
+
+
+def _remap_cols(
+    cols: np.ndarray, d: int, block: int, col_map,
+) -> np.ndarray:
+    """Remap global columns into shard ``d``'s local gather table
+    ``[own block ‖ recv buffer]`` per the halo plan's ``col_map``."""
+    own = (cols >= d * block) & (cols < (d + 1) * block)
+    out = np.empty(cols.shape, np.int64)
+    out[own] = cols[own] - d * block
+    h, table_idx = col_map
+    out[~own] = table_idx[np.searchsorted(h, cols[~own])]
+    return out.astype(np.int32)
+
+
 def partition_rows_hybrid(
     adj: sp.spmatrix,
     num_shards: int,
@@ -188,46 +244,14 @@ def partition_rows_hybrid(
     halo_fraction = 0.0
     col_maps: list = [None] * num_shards
     if halo:
-        # ---- static halo plan (host) --------------------------------------
-        halos = []      # per shard: sorted unique non-local global cols
-        for d, sub in enumerate(subs):
-            cols_d = np.unique(sub.indices)
-            own = (cols_d >= d * block) & (cols_d < (d + 1) * block)
-            halos.append(cols_d[~own].astype(np.int64))
-        sizes = [
-            [int(((h // block) == src).sum()) for src in range(num_shards)]
-            for h in halos
-        ]
-        halo_pad = max(
-            1, _round_up(max((max(s) for s in sizes), default=1), lane_pad)
+        send_idx, halo_pad, halo_fraction, col_maps = _build_halo_plan(
+            [sub.indices for sub in subs], num_shards, block, lane_pad
         )
-        send_idx = np.zeros((num_shards, num_shards, halo_pad), np.int32)
-        for dst in range(num_shards):
-            h = halos[dst]
-            owner = h // block
-            for src in range(num_shards):
-                rows_src = (h[owner == src] - src * block).astype(np.int32)
-                send_idx[src, dst, : rows_src.size] = rows_src
-        halo_fraction = float(
-            np.mean([len(h) for h in halos]) / max(block, 1)
-        )
-        # per-shard remap of global cols -> local table index
-        for d, h in enumerate(halos):
-            owner = h // block
-            group_start = np.searchsorted(owner, np.arange(num_shards))
-            j = np.arange(h.size) - group_start[owner]
-            table_idx = (block + owner * halo_pad + j).astype(np.int64)
-            col_maps[d] = (h, table_idx)
 
     def _remap(d: int, cols: np.ndarray) -> np.ndarray:
         if not halo:
             return cols.astype(np.int32)
-        own = (cols >= d * block) & (cols < (d + 1) * block)
-        out = np.empty(cols.shape, np.int64)
-        out[own] = cols[own] - d * block
-        h, table_idx = col_maps[d]
-        out[~own] = table_idx[np.searchsorted(h, cols[~own])]
-        return out.astype(np.int32)
+        return _remap_cols(cols, d, block, col_maps[d])
 
     # ---- per-shard hybrid pack (shapes equalized across shards) -----------
     packed = []
@@ -269,6 +293,210 @@ def partition_rows_hybrid(
     return HybridPartition(
         ell_cols, ell_vals, tail_rows, tail_cols, tail_vals,
         block=block, n=n, width=width, tail_chunk=tail_chunk,
+        send_idx=send_idx, halo_pad=halo_pad, halo_fraction=halo_fraction,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded TILED partition — the flagship MXU locality engine under the mesh
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TiledPartition:
+    """Per-shard dense-tile + hybrid-rest blocks, stackable along a leading
+    shard axis: :class:`~ssrg_tpu.ops.sparse.TiledAdj`'s layout under the
+    1-D row partition (round-3 verdict ask 1's second half — "a per-shard
+    TiledAdj whose tiles address the gathered X").
+
+    Diagonal-block edges (row AND column in the shard's block — on
+    cluster-aligned partitions the overwhelming majority) pack into
+    [row_block × tile_cols] dense tiles that run as MXU matmuls against
+    contiguous windows of the shard's OWN feature block: they never touch
+    the exchange at all. Everything else (off-diagonal edges + scattered
+    diagonal edges below ``min_edges_per_tile``) spills into the same
+    ELL+COO rest layout as :class:`HybridPartition`, addressing the gather
+    table (full gathered X, or ``[own block ‖ recv buffer]`` in halo mode).
+
+    - ``tiles``     f32  [D, P_pad, row_block, tile_cols] (zero pad tiles)
+    - ``starts``    int32 [D, P_pad] column start of each tile, LOCAL to the
+      shard's block (multiples of ``tile_cols``; 0 on padding)
+    - ``block_of``  int32 [D, P_pad] destination row block within the shard
+    - rest arrays / halo plan exactly as :class:`HybridPartition`
+    """
+
+    tiles: np.ndarray
+    starts: np.ndarray
+    block_of: np.ndarray
+    ell_cols: np.ndarray
+    ell_vals: np.ndarray
+    tail_rows: np.ndarray
+    tail_cols: np.ndarray
+    tail_vals: np.ndarray
+    block: int
+    n: int
+    width: int
+    tail_chunk: int
+    row_block: int
+    tile_cols: int
+    tiled_fraction: float
+    send_idx: Optional[np.ndarray] = None   # int32 [D, D, halo_pad]
+    halo_pad: int = 0
+    halo_fraction: float = 0.0
+
+    @property
+    def num_shards(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.num_shards
+
+    @property
+    def local_table_rows(self) -> int:
+        if self.send_idx is None:
+            return self.n_pad
+        return self.block + self.num_shards * self.halo_pad
+
+
+def partition_rows_tiled(
+    adj: sp.spmatrix,
+    num_shards: int,
+    row_block: int = 256,
+    tile_cols: int = 512,
+    min_edges_per_tile: int = 48,
+    width: Optional[int] = None,
+    width_percentile: float = 95.0,
+    halo: bool = True,
+    tail_chunk: int = 1 << 19,
+    lane_pad: int = 8,
+) -> TiledPartition:
+    """Row-partition a CSR adjacency into per-shard dense tiles + hybrid rest.
+
+    Meant to run AFTER :func:`cluster_reorder_for_partition` (shard
+    boundaries following communities are what make the diagonal blocks
+    tile-dense and the halo small). The tile pack is the host (numpy) path
+    of ``ops.sparse.build_tiled`` restricted to each shard's diagonal block;
+    at out-of-host-memory scale stream shards through
+    ``ops.sparse.build_tiled(device_scatter=True)`` instead."""
+    from ssrg_tpu import native
+
+    csr = adj.tocsr()
+    n = csr.shape[0]
+    if csr.shape[1] != n:
+        raise ValueError("partition_rows_tiled expects a square adjacency")
+    row_align = int(np.lcm(row_block, tile_cols))
+    block = _round_up(-(-n // num_shards), row_align)
+    num_segs = block // tile_cols
+    nb_local = block // row_block
+
+    shard_tiles: list = []       # per shard: (tiles [P_d, rb, tc], starts, blks)
+    rest_csrs: list = []         # per shard: (indptr, indices(local), data)
+    rest_cols_global: list = []  # per shard: global cols of rest edges
+    dense_edges = 0
+    for d in range(num_shards):
+        lo, hi = d * block, min((d + 1) * block, n)
+        sub = (csr[lo:hi] if lo < n
+               else sp.csr_matrix((0, n), dtype=csr.dtype)).tocoo()
+        r, c, v = (sub.row.astype(np.int64), sub.col.astype(np.int64),
+                   sub.data.astype(np.float32))
+        own = (c >= lo) & (c < lo + block)
+        c_loc = c - lo
+        key = np.full(r.shape, -1, np.int64)
+        key[own] = (r[own] // row_block) * num_segs + c_loc[own] // tile_cols
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        dense_key = (uniq >= 0) & (counts >= min_edges_per_tile)
+        is_dense = dense_key[inv]
+        dense_edges += int(is_dense.sum())
+
+        dkeys = uniq[dense_key]
+        rank = np.full(uniq.shape, -1, np.int64)
+        rank[dense_key] = np.arange(dkeys.size)
+        p_d = int(dkeys.size)
+        tiles_d = np.zeros((max(p_d, 1), row_block, tile_cols), np.float32)
+        if p_d:
+            e = is_dense
+            flat = (rank[inv[e]] * row_block * tile_cols
+                    + (r[e] % row_block) * tile_cols
+                    + c_loc[e] % tile_cols)
+            np.add.at(tiles_d.reshape(-1), flat, v[e])
+        shard_tiles.append((
+            tiles_d,
+            ((dkeys % num_segs) * tile_cols).astype(np.int32)
+            if p_d else np.zeros(1, np.int32),
+            (dkeys // num_segs).astype(np.int32)
+            if p_d else np.zeros(1, np.int32),
+        ))
+
+        rr, cc, vv = r[~is_dense], c[~is_dense], v[~is_dense]
+        order = np.lexsort((cc, rr))
+        rr, cc, vv = rr[order], cc[order], vv[order]
+        indptr = np.zeros(block + 1, np.int64)
+        np.add.at(indptr, rr + 1, 1)
+        rest_csrs.append((np.cumsum(indptr), cc, vv))
+        rest_cols_global.append(cc)
+
+    send_idx = None
+    halo_pad = 0
+    halo_fraction = 0.0
+    col_maps: list = [None] * num_shards
+    if halo:
+        send_idx, halo_pad, halo_fraction, col_maps = _build_halo_plan(
+            rest_cols_global, num_shards, block, lane_pad
+        )
+
+    if width is None:
+        rest_degs = np.concatenate(
+            [np.diff(ip) for ip, _, _ in rest_csrs]
+        ) if rest_csrs else np.zeros(1)
+        width = int(np.percentile(rest_degs, width_percentile)) if n else 1
+        width = _round_up(max(width, 1), lane_pad)
+
+    packed = []
+    max_tail = 1
+    for d, (indptr, cc, vv) in enumerate(rest_csrs):
+        cols_r = (cc.astype(np.int32) if not halo
+                  else _remap_cols(cc, d, block, col_maps[d]))
+        ec, ev, tr, tc_, tv = native.ell_hybrid_pack(
+            indptr, cols_r, vv, width, block
+        )
+        packed.append((ec, ev, tr, tc_, tv))
+        max_tail = max(max_tail, tr.size)
+
+    if max_tail <= tail_chunk:
+        tail_chunk = max(_round_up(max_tail, 512), 512)
+        tail_pad = tail_chunk
+    else:
+        num_chunks = -(-max_tail // tail_chunk)
+        tail_chunk = _round_up(-(-max_tail // num_chunks), 512)
+        tail_pad = num_chunks * tail_chunk
+
+    p_pad = max(t[0].shape[0] for t in shard_tiles)
+    tiles = np.zeros((num_shards, p_pad, row_block, tile_cols), np.float32)
+    starts = np.zeros((num_shards, p_pad), np.int32)
+    block_of = np.zeros((num_shards, p_pad), np.int32)
+    tail_rows = np.zeros((num_shards, tail_pad), np.int32)
+    tail_cols = np.zeros((num_shards, tail_pad), np.int32)
+    tail_vals = np.zeros((num_shards, tail_pad), np.float32)
+    for d in range(num_shards):
+        t, s, b = shard_tiles[d]
+        tiles[d, : t.shape[0]] = t
+        starts[d, : s.size] = s
+        block_of[d, : b.size] = b
+        _, _, tr, tc_, tv = packed[d]
+        tail_rows[d, : tr.size] = tr
+        tail_cols[d, : tc_.size] = tc_
+        tail_vals[d, : tv.size] = tv
+    assert nb_local > 0  # block >= row_block by construction
+    return TiledPartition(
+        tiles=tiles, starts=starts, block_of=block_of,
+        ell_cols=np.stack([p[0] for p in packed]),
+        ell_vals=np.stack([p[1] for p in packed]),
+        tail_rows=tail_rows, tail_cols=tail_cols, tail_vals=tail_vals,
+        block=block, n=n, width=width, tail_chunk=tail_chunk,
+        row_block=row_block, tile_cols=tile_cols,
+        tiled_fraction=dense_edges / max(csr.nnz, 1),
         send_idx=send_idx, halo_pad=halo_pad, halo_fraction=halo_fraction,
     )
 

