@@ -7,6 +7,7 @@ tree — no import-time side effects.
 
 Subcommands:
 - ``train``     node classification on a dataset (reference SSRG/main.py)
+- ``spmd``      multi-chip SPMD training over a (graph, data) device mesh
 - ``sparsify``  graph sparsification pipeline (reference SSRG/data_process.py)
 - ``augment``   robust augmentation pipeline (reference SSRG/data_augument.py)
 - ``baseline``  message-passing baseline zoo (reference /main.py)
@@ -140,6 +141,67 @@ def cmd_train(args) -> int:
         dataset, spec, model_cfg, train_cfg, verbose=args.verbose
     )
     print(f"Best val: {task.best_val:.4f}, best test: {task.best_test:.4f}")
+    return 0
+
+
+def cmd_spmd(args) -> int:
+    """Multi-chip SPMD training over a (graph, data) device mesh.
+
+    The CLI surface for ``parallel.dist_train.build_spmd_context`` — the
+    scaling layer the single-device reference lacks (SURVEY.md §2.14):
+    cluster-aligned row partition, per-shard fast local SpMM (tiled or
+    hybrid) inside shard_map, all-gather or halo-only exchange, and a
+    data-parallel head. Run under real chips it scales over ICI; in this
+    container it validates on the virtual CPU mesh (tests/conftest.py)."""
+    import jax
+    import numpy as np
+
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
+    from ssrg_tpu.parallel.mesh import make_mesh
+
+    dataset = _load_dataset(args)
+    devices = jax.devices()
+    shards = args.num_shards or len(devices)
+    data_par = args.data_parallel
+    need = shards * max(data_par, 1)
+    if len(devices) < need:
+        print(f"error: mesh needs {need} devices "
+              f"({shards} graph x {max(data_par, 1)} data), "
+              f"have {len(devices)}")
+        return 2
+    if data_par > 1:
+        mesh = make_mesh((shards, data_par), ("graph", "data"),
+                         devices[:need])
+        data_axis = "data"
+    else:
+        mesh = make_mesh((shards,), ("graph",), devices[:shards])
+        data_axis = None
+
+    model_cfg = ModelConfig(
+        model_name=args.model_name, num_layers=args.num_layers,
+        dropout=args.dropout, hidden_dim=args.hidden_dim,
+        prop_steps=args.prop_steps, r=args.r,
+    )
+    spec = load_model(model_cfg, dataset.num_features, dataset.num_classes)
+    adj_norm = sym_norm(dataset.adj, model_cfg.r)
+    ctx = build_spmd_context(
+        adj_norm, dataset.x, dataset.y, dataset.train_idx, spec.module,
+        mesh, model_cfg.prop_steps, lr=args.lr,
+        weight_decay=args.weight_decay, data_axis=data_axis,
+        seed=args.seed, local_engine=args.local_engine, comm=args.comm,
+        reorder=None if args.reorder in (None, "none") else args.reorder,
+        tile_bf16=args.tile_bf16,
+    )
+    ctx, loss0 = run_steps(ctx, 1, seed=args.seed)
+    ctx, loss = run_steps(ctx, max(args.steps - 1, 0), seed=args.seed + 1)
+    print(f"spmd: mesh {dict(mesh.shape)}, engine {args.local_engine}, "
+          f"comm {args.comm}, loss {float(loss0):.4f} -> {float(loss):.4f} "
+          f"over {args.steps} steps")
+    if not np.isfinite(loss):
+        return 1
     return 0
 
 
@@ -418,6 +480,36 @@ def main(argv=None) -> int:
     _add_data_flags(p_train)
     p_train.add_argument("--verbose", action="store_true")
     p_train.set_defaults(fn=cmd_train)
+
+    p_spmd = sub.add_parser(
+        "spmd", help="multi-chip SPMD training over a (graph, data) mesh"
+    )
+    p_spmd.add_argument("--model_name", default="gamlp",
+                        help="precompute-family model (sgc|ssgc|sign|gbp|"
+                             "gamlp|...)")
+    p_spmd.add_argument("--num_layers", type=int, default=2)
+    p_spmd.add_argument("--dropout", type=float, default=0.5)
+    p_spmd.add_argument("--hidden_dim", type=int, default=64)
+    p_spmd.add_argument("--prop_steps", type=int, default=3)
+    p_spmd.add_argument("--r", type=float, default=0.5)
+    p_spmd.add_argument("--num_shards", type=int, default=None,
+                        help="graph-axis size (default: all devices)")
+    p_spmd.add_argument("--data_parallel", type=int, default=1,
+                        help=">1 adds a data axis (2-D mesh)")
+    p_spmd.add_argument("--local_engine", default="tiled",
+                        help="tiled|hybrid|coo per-shard SpMM layout")
+    p_spmd.add_argument("--comm", default="halo",
+                        help="halo|all_gather exchange mode")
+    p_spmd.add_argument("--reorder", default="cluster",
+                        help="cluster|none — cluster-align shard boundaries")
+    p_spmd.add_argument("--tile_bf16", action="store_true",
+                        help="bf16 dense-tile storage (tiled engine)")
+    p_spmd.add_argument("--steps", type=int, default=20)
+    p_spmd.add_argument("--lr", type=float, default=0.01)
+    p_spmd.add_argument("--weight_decay", type=float, default=1e-5)
+    p_spmd.add_argument("--seed", type=int, default=2023)
+    _add_data_flags(p_spmd)
+    p_spmd.set_defaults(fn=cmd_spmd)
 
     p_sp = sub.add_parser("sparsify", help="sparsify a dataset (mask features/edges)")
     p_sp.add_argument("--dataset", default="cora")

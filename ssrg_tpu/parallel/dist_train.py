@@ -80,6 +80,7 @@ def build_spmd_context(
     local_engine: str = "hybrid",
     comm: str = "all_gather",
     reorder: Optional[str] = None,
+    tile_bf16: bool = False,
 ) -> SPMDTrainContext:
     """Partition the graph over ``mesh``, initialize replicated params, and
     compile the full sharded train step.
@@ -90,7 +91,10 @@ def build_spmd_context(
     (docs/PERFORMANCE.md). ``comm="halo"`` (hybrid only) exchanges only the
     precomputed boundary rows via all_to_all instead of all-gathering full X
     (SURVEY.md §7 halo plan); pair it with ``reorder="cluster"`` so shard
-    boundaries follow LPA communities and the halo stays small. With
+    boundaries follow LPA communities and the halo stays small.
+    ``local_engine="tiled"`` runs diagonal-block MXU tiles + hybrid rest
+    (the flagship locality engine; ``tile_bf16`` stores tiles in bf16 — the
+    measured-fastest single-chip storage tier). With
     ``reorder`` set, the context's x/y/mask (and the hop tensor) live in the
     permuted node order — self-consistent for training since labels and mask
     are permuted alike.
@@ -138,7 +142,10 @@ def build_spmd_context(
             tile_cols=512 if big else 16,
             min_edges_per_tile=48 if big else 4,
         )
-        sharded_adj = shard_adjacency_tiled(part, mesh, axis)
+        sharded_adj = shard_adjacency_tiled(
+            part, mesh, axis,
+            dtype=jnp.bfloat16 if tile_bf16 else jnp.float32,
+        )
         get_logger().info(
             "tiled local engine: tiled_fraction %.3f (%d tile pairs/shard)",
             part.tiled_fraction, part.starts.shape[1],

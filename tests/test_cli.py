@@ -76,6 +76,23 @@ def test_cli_sparsify_augment_train_roundtrip(tmp_path, capsys):
     assert "Best val:" in capsys.readouterr().out
 
 
+def test_cli_spmd_synthetic(capsys):
+    """The multi-chip subcommand end-to-end on the 8-device virtual mesh:
+    cluster reorder -> tiled local engine -> halo exchange -> 2-D mesh."""
+    rc = main([
+        "spmd", "--synthetic", "--synthetic_nodes", "256",
+        "--synthetic_classes", "4", "--synthetic_features", "16",
+        "--num_shards", "4", "--data_parallel", "2",
+        "--local_engine", "tiled", "--comm", "halo", "--reorder", "cluster",
+        "--hidden_dim", "16", "--prop_steps", "2", "--steps", "8",
+        "--lr", "0.05",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "spmd: mesh {'graph': 4, 'data': 2}" in out
+    assert "engine tiled" in out and "comm halo" in out
+
+
 def test_cli_autotune(capsys):
     rc = main([
         "autotune", "--synthetic", "--synthetic_nodes", "400",
