@@ -7,7 +7,10 @@ static halo exchange (``partition_rows_hybrid(halo=True)``) on BOTH the raw
 layout and the cluster-aligned layout (``cluster_reorder_for_partition``),
 and prints the analytic bytes/device/hop of the three exchange modes —
 the same formulas as ``dist_spmm.comm_stats`` (this script is deliberately
-jax-free so it can run host-side next to a live TPU job):
+host-side-only — the lazy package inits keep the jax backend UNinitialized
+(no device/relay claim; this container's sitecustomize preloads the jax
+module itself in every process), asserted by tests/test_aux.py — so it can
+run next to a live TPU job):
 
 - all_gather: (D-1) * block * F * 4
 - ring:       D * block * F * 4

@@ -31,65 +31,15 @@ import json
 import time
 
 import numpy as np
-import scipy.sparse as sp
 
 
-def shuffled_community_graph(n, comm=512, intra_deg=10, inter_deg=2, seed=0):
-    """Products-density community graph with SHUFFLED node ids — the raw
-    input whose clustered structure the pipeline must discover itself."""
-    rng = np.random.default_rng(seed)
-    base = (np.arange(n, dtype=np.int64) // comm) * comm
-    r_in = np.repeat(np.arange(n, dtype=np.int64), intra_deg)
-    c_in = base[r_in] + rng.integers(0, comm, r_in.shape)
-    r_out = np.repeat(np.arange(n, dtype=np.int64), inter_deg)
-    c_out = rng.integers(0, n, r_out.shape)
-    r = np.concatenate([r_in, r_out])
-    c = np.concatenate([c_in, c_out])
-    keep = r != c
-    shuf = rng.permutation(n)
-    adj = sp.coo_matrix(
-        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
-        shape=(n, n),
-    )
-    adj = (adj + adj.T).tocsr()
-    adj.data[:] = 1.0
-    return adj
-
-
-def nested_community_graph(n, comm=512, group=4, intra_deg=10, sib_deg=2,
-                           uni_deg=1, seed=0):
-    """TWO-LEVEL community graph with SHUFFLED ids: ``comm``-node communities
-    nested in ``comm*group``-node super-communities. Inter-community edges
-    split into a SIBLING part (within the super-community — the nested
-    structure real ogbn graphs have) and a uniform sprinkle. The flat
-    generator's uniform inter-edges are untileable by construction (its
-    tiled_fraction ceiling IS the intra fraction); this is the regime where
-    hierarchical merging (``cluster_permutation(merge_target=comm*group)``)
-    has structure to recover."""
-    rng = np.random.default_rng(seed)
-    cluster_of = np.arange(n, dtype=np.int64) // comm
-    group_base = (cluster_of // group) * group
-    r_in = np.repeat(np.arange(n, dtype=np.int64), intra_deg)
-    c_in = np.minimum(cluster_of[r_in] * comm
-                      + rng.integers(0, comm, r_in.shape), n - 1)
-    r_s = np.repeat(np.arange(n, dtype=np.int64), sib_deg)
-    sib = group_base[r_s] + rng.integers(0, group, r_s.shape)
-    sib = np.where(sib == cluster_of[r_s],
-                   group_base[r_s] + (sib - group_base[r_s] + 1) % group, sib)
-    c_s = np.minimum(sib * comm + rng.integers(0, comm, r_s.shape), n - 1)
-    r_u = np.repeat(np.arange(n, dtype=np.int64), uni_deg)
-    c_u = rng.integers(0, n, r_u.shape)
-    r = np.concatenate([r_in, r_s, r_u])
-    c = np.concatenate([c_in, c_s, c_u])
-    keep = r != c
-    shuf = rng.permutation(n)
-    adj = sp.coo_matrix(
-        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
-        shape=(n, n),
-    )
-    adj = (adj + adj.T).tocsr()
-    adj.data[:] = 1.0
-    return adj
+# canonical generators live in ssrg_tpu.data.synthetic (single copy shared
+# with the scoreboard in ssrg_tpu.bench and the reorder tests); importing
+# data.synthetic does not initialize a jax backend (tests/test_aux.py).
+from ssrg_tpu.data.synthetic import (  # noqa: E402
+    community_graph as shuffled_community_graph,
+    nested_community_graph,
+)
 
 
 def host_tiled_fraction(csr, row_block=256, tile_cols=512,
@@ -128,7 +78,8 @@ def main() -> int:
                          "claim)")
     ap.add_argument("--fraction_only", action="store_true",
                     help="host-side tiled_fraction ablation (numpy only — "
-                         "no jax import, never claims the TPU relay)")
+                         "jax backend never initialized, so the TPU relay "
+                         "is never claimed)")
     args = ap.parse_args()
 
     if args.fraction_only:

@@ -205,9 +205,11 @@ def device_edges_per_s(
         # for the gather family — banded/tiled/pallas engines stream dense
         # blocks with padded-zero work, so emitting these fields for them
         # would report a wrong HBM fraction (ADVICE r3).
+        from ssrg_tpu.ops.sparse import DENSE_THRESHOLD
+
         resolved = engine
         if engine == "auto":
-            resolved = "dense" if adj.shape[0] <= 8192 else "hybrid"
+            resolved = "dense" if adj.shape[0] <= DENSE_THRESHOLD else "hybrid"
         if resolved in ("coo", "ell", "hybrid"):
             bytes_per_hop = adj.nnz * (f * 4 + 8) + adj.shape[0] * f * 4
             flops_per_hop = 2 * adj.nnz * f
@@ -226,33 +228,10 @@ def device_edges_per_s(
     return total_hops * adj.nnz / dt
 
 
-def make_community_graph(
-    num_nodes: int, comm: int = 512, intra_deg: int = 10, inter_deg: int = 2,
-    seed: int = 0,
-) -> sp.csr_matrix:
-    """Products-density community graph with SHUFFLED node ids — the raw
-    input whose clustered structure the locality pipeline must discover
-    itself (same construction as
-    ``benchmarks/tiled_cluster_pipeline_bench.py``)."""
-    rng = np.random.default_rng(seed)
-    base = (np.arange(num_nodes, dtype=np.int64) // comm) * comm
-    r_in = np.repeat(np.arange(num_nodes, dtype=np.int64), intra_deg)
-    # clip: the last community is truncated when comm does not divide n
-    c_in = np.minimum(base[r_in] + rng.integers(0, comm, r_in.shape),
-                      num_nodes - 1)
-    r_out = np.repeat(np.arange(num_nodes, dtype=np.int64), inter_deg)
-    c_out = rng.integers(0, num_nodes, r_out.shape)
-    r = np.concatenate([r_in, r_out])
-    c = np.concatenate([c_in, c_out])
-    keep = r != c
-    shuf = rng.permutation(num_nodes)
-    adj = sp.coo_matrix(
-        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
-        shape=(num_nodes, num_nodes),
-    )
-    adj = (adj + adj.T).tocsr()
-    adj.data[:] = 1.0
-    return adj
+# canonical generator lives in data.synthetic (single copy shared with the
+# pipeline benchmarks and reorder tests); re-exported under the historical
+# name for benchmarks/sharded_overhead_bench.py et al.
+from ssrg_tpu.data.synthetic import community_graph as make_community_graph  # noqa: E402,F401
 
 
 def _scan_hops_edges_per_s(adj_dev, x_dev, nnz: int, total_hops: int) -> float:
@@ -315,7 +294,9 @@ def fast_tier_metrics(
         from ssrg_tpu.ops.reorder import apply_permutation, cluster_permutation
         from ssrg_tpu.ops.sparse import build_tiled
 
-        n_c = num_nodes if on_tpu else 32_768
+        # CPU (fallback/test) runs shrink to the requested size so a tiny
+        # bench request is not dwarfed by a fixed 32k side workload
+        n_c = num_nodes if on_tpu else min(num_nodes, 32_768)
         adj = sym_norm(make_community_graph(n_c), 0.5)
         t0 = time.perf_counter()
         perm = cluster_permutation(adj)
@@ -347,6 +328,13 @@ def fast_tier_metrics(
         nb = 330 if on_tpu else 2      # 330*512 ≈ arxiv N
         nnz_model = 2_489_237 if on_tpu else 10_000
         n = nb * row_block
+        # on the shrunken CPU shapes the full window may exceed n; shrink it
+        # (16-aligned) so the window starts stay in [0, n - window]
+        window = min(window, (n // 16) * 16)
+        los = np.maximum(
+            0, np.minimum(np.arange(nb) * row_block - window // 2, n - window)
+        )
+        los = ((los // 16) * 16).astype(np.int32)
 
         @jax.jit
         def gen_blocks():
@@ -355,10 +343,6 @@ def fast_tier_metrics(
             ).astype(jnp.bfloat16)
 
         blocks = gen_blocks()
-        los = np.minimum(
-            np.maximum(np.arange(nb) * row_block - window // 2, 0), n - window
-        )
-        los = ((los // 16) * 16).astype(np.int32)
         banded = PallasBandedAdj(
             blocks, jnp.asarray(los), n, n, row_block,
             interpret=not on_tpu, window_bf16=True,

@@ -196,7 +196,10 @@ def cmd_spmd(args) -> int:
         tile_bf16=args.tile_bf16,
     )
     ctx, loss0 = run_steps(ctx, 1, seed=args.seed)
-    ctx, loss = run_steps(ctx, max(args.steps - 1, 0), seed=args.seed + 1)
+    if args.steps > 1:
+        ctx, loss = run_steps(ctx, args.steps - 1, seed=args.seed + 1)
+    else:
+        loss = loss0
     print(f"spmd: mesh {dict(mesh.shape)}, engine {args.local_engine}, "
           f"comm {args.comm}, loss {float(loss0):.4f} -> {float(loss):.4f} "
           f"over {args.steps} steps")

@@ -759,6 +759,15 @@ def _tile_scatter_add(flat, pair_of, offs, vals, dtype):
     return flat.at[pair_of, offs].add(vals.astype(dtype))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("p_num", "row_block", "tile_cols"),
+    donate_argnums=(0,),
+)
+def _tile_reshape(flat, p_num, row_block, tile_cols):
+    return flat.reshape(p_num, row_block, tile_cols)
+
+
 def _tile_scatter_chunked(
     pair_of: np.ndarray, offs: np.ndarray, vals: np.ndarray,
     p_num: int, row_block: int, tile_cols: int, dtype,
@@ -778,28 +787,35 @@ def _tile_scatter_chunked(
             jnp.asarray(vals), dtype=dtype,
         )
     else:
-        # pad to whole chunks so every dispatch reuses ONE compiled program;
-        # pad entries scatter 0.0 into tile 0 offset 0 (a no-op add)
         n_chunks = -(-e // chunk)
-        pad = n_chunks * chunk - e
-        pr = np.concatenate([pair_of, np.zeros(pad, pair_of.dtype)])
-        of = np.concatenate([offs, np.zeros(pad, offs.dtype)])
-        va = np.concatenate([vals, np.zeros(pad, vals.dtype)])
         for i in range(n_chunks):
-            s = slice(i * chunk, (i + 1) * chunk)
+            s = slice(i * chunk, min((i + 1) * chunk, e))
+            pr, of, va = pair_of[s], offs[s], vals[s]
+            pad = chunk - pr.shape[0]
+            if pad:
+                # pad the FINAL slice only (never a full-array copy) so every
+                # dispatch reuses ONE compiled program; pad entries scatter
+                # 0.0 into tile 0 offset 0 (a no-op add)
+                pr = np.concatenate([pr, np.zeros(pad, pr.dtype)])
+                of = np.concatenate([of, np.zeros(pad, of.dtype)])
+                va = np.concatenate([va, np.zeros(pad, va.dtype)])
             flat = _tile_scatter_add(
-                flat, jnp.asarray(pr[s]), jnp.asarray(of[s]),
-                jnp.asarray(va[s]), dtype=dtype,
+                flat, jnp.asarray(pr), jnp.asarray(of), jnp.asarray(va),
+                dtype=dtype,
             )
-    return jax.jit(
-        lambda f: f.reshape(p_num, row_block, tile_cols), donate_argnums=0
-    )(flat)
+    return _tile_reshape(flat, p_num, row_block, tile_cols)
+
+
+# "auto" crossover: the MXU dense matmul wins outright below a few thousand
+# rows (measured, docs/PERFORMANCE.md). Single source of truth — bench.py's
+# roofline gating resolves "auto" against THIS constant.
+DENSE_THRESHOLD = 8192
 
 
 def device_adjacency(
     adj: sp.spmatrix,
     engine: str = "auto",
-    dense_threshold: int = 8192,
+    dense_threshold: int = DENSE_THRESHOLD,
     **kwargs,
 ) -> Adjacency:
     """Pick a device format for a scipy sparse adjacency.

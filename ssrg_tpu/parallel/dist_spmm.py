@@ -504,6 +504,32 @@ def shard_adjacency_hybrid(
     )
 
 
+def _exchange_table(h_block, send, axis: str, num_shards: int,
+                    halo_pad: int):
+    """Per-hop feature exchange inside shard_map — the ONE implementation
+    both the hybrid and tiled propagators use (so a halo-plan layout change
+    cannot drift between them).
+
+    ``send is None``: all_gather the full feature block (table = full X).
+    Otherwise halo-only: gather the precomputed boundary rows each peer
+    needs (``send [D, halo_pad]``, LOCAL row ids), ship them in one
+    ``all_to_all``, and return the lookup table
+    ``[own block ‖ recv buffer]`` that the pre-remapped rest columns
+    address (see ``_build_halo_plan``)."""
+    if send is None:
+        return jax.lax.all_gather(h_block, axis, tiled=True)
+    f = h_block.shape[1]
+    sends = jnp.take(h_block, send.reshape(-1), axis=0).reshape(
+        num_shards, halo_pad, f
+    )
+    recv = jax.lax.all_to_all(
+        sends, axis, split_axis=0, concat_axis=0, tiled=False
+    )
+    return jnp.concatenate(
+        [h_block, recv.reshape(num_shards * halo_pad, f)], axis=0
+    )
+
+
 def _ell_local_spmm(cols, vals, table, row_block: int = 256):
     """Per-shard ELL gather-reduce against the local gather table — the
     ``ELLAdj.spmm`` schedule (row-block scan keeps the gather intermediate
@@ -575,21 +601,9 @@ def dist_propagate_hybrid(
         ec, ev = args[0][0], args[1][0]
         tr, tc, tv = args[2][0], args[3][0], args[4][0]
         send = args[5][0] if halo else None   # [D, halo_pad]
-        f = x_block.shape[1]
 
         def step(h_block, _):
-            if halo:
-                sends = jnp.take(
-                    h_block, send.reshape(-1), axis=0
-                ).reshape(num_shards, halo_pad, f)
-                recv = jax.lax.all_to_all(
-                    sends, axis, split_axis=0, concat_axis=0, tiled=False
-                )
-                table = jnp.concatenate(
-                    [h_block, recv.reshape(num_shards * halo_pad, f)], axis=0
-                )
-            else:
-                table = jax.lax.all_gather(h_block, axis, tiled=True)
+            table = _exchange_table(h_block, send, axis, num_shards, halo_pad)
             h_next = _ell_local_spmm(ec, ev, table, row_block)
             h_next = h_next + _local_spmm(
                 tr, tc, tv, table, block, tail_chunk, axis=axis
@@ -768,21 +782,9 @@ def dist_propagate_tiled(
         ec, ev = args[3][0], args[4][0]
         tr, tc_, tv = args[5][0], args[6][0], args[7][0]
         send = args[8][0] if halo else None   # [D, halo_pad]
-        f = x_block.shape[1]
 
         def step(h_block, _):
-            if halo:
-                sends = jnp.take(
-                    h_block, send.reshape(-1), axis=0
-                ).reshape(num_shards, halo_pad, f)
-                recv = jax.lax.all_to_all(
-                    sends, axis, split_axis=0, concat_axis=0, tiled=False
-                )
-                table = jnp.concatenate(
-                    [h_block, recv.reshape(num_shards * halo_pad, f)], axis=0
-                )
-            else:
-                table = jax.lax.all_gather(h_block, axis, tiled=True)
+            table = _exchange_table(h_block, send, axis, num_shards, halo_pad)
             h_next = _tiled_local_spmm(tiles, starts, block_of,
                                        h_block, axis)
             h_next = h_next + _ell_local_spmm(ec, ev, table, row_block)

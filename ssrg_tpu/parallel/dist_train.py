@@ -117,6 +117,13 @@ def build_spmd_context(
         raise ValueError(f"unknown reorder {reorder!r} (use 'cluster')")
 
     num_graph_shards = mesh.shape[axis]
+    if comm not in ("all_gather", "halo"):
+        # validate BEFORE the expensive partition/device_put work; note the
+        # ring exchange lives in dist_propagate_ring (coo layout), not here
+        raise ValueError(
+            f"unknown comm {comm!r} (use 'all_gather' or 'halo'; the "
+            "ppermute ring is the separate dist_propagate_ring path)"
+        )
     if comm == "halo" and local_engine not in ("hybrid", "tiled"):
         raise ValueError("comm='halo' requires local_engine hybrid|tiled")
     if local_engine == "hybrid":
@@ -247,7 +254,11 @@ def build_spmd_context(
 
 
 def run_steps(ctx: SPMDTrainContext, num_steps: int, seed: int = 0):
-    """Execute sharded train steps; returns (ctx, last_loss)."""
+    """Execute sharded train steps; returns (ctx, last_loss).
+
+    ``num_steps == 0`` is a no-op and returns ``nan`` for the loss (there is
+    no step to report) rather than crashing on an unassigned value.
+    """
     rng = jax.random.PRNGKey(seed)
     loss = None
     for i in range(num_steps):
@@ -255,4 +266,4 @@ def run_steps(ctx: SPMDTrainContext, num_steps: int, seed: int = 0):
         ctx.params, ctx.opt_state, loss = ctx.step_fn(
             ctx.params, ctx.opt_state, ctx.x, ctx.y, ctx.train_mask, step_rng
         )
-    return ctx, float(loss)
+    return ctx, (float("nan") if loss is None else float(loss))

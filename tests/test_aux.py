@@ -352,3 +352,28 @@ def test_batch_iterator_pads_when_split_smaller_than_half_batch():
     assert b.shape == (64,) and w.shape == (64,)
     assert w.sum() == 20  # padding carries zero weight
     assert set(b.tolist()) == set(range(20))
+
+
+def test_host_planning_imports_leave_jax_backend_uninitialized():
+    """The halo/partition planners (halo_plan_bench's contract) must be
+    importable without initializing a jax backend: this container's TPU
+    relay is single-tenant, and a backend claim from a 'host-side' script
+    overlapping a live TPU job can wedge the tunnel (CLAUDE.md). The lazy
+    ops/parallel package inits (PEP 562) guarantee it; subprocess so this
+    test is immune to the suite's own jax init."""
+    import subprocess
+    import sys
+
+    code = (
+        "import ssrg_tpu.ops.normalize, ssrg_tpu.ops.reorder, "
+        "ssrg_tpu.parallel.partition, ssrg_tpu\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, 'host-side import initialized a backend'\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout

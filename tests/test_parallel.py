@@ -435,3 +435,36 @@ def test_format_bytes_legible_at_toy_scale():
     assert format_bytes(512) == "512 B"
     assert "KB" in format_bytes(81920)
     assert "MB" in format_bytes(3 * 2**20)
+
+
+def test_run_steps_zero_is_noop_and_comm_validated():
+    """run_steps(ctx, 0) returns nan instead of crashing (the spmd CLI's
+    --steps 1 path), and build_spmd_context rejects unknown comm modes
+    BEFORE doing any partition work."""
+    import pytest
+
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
+    from ssrg_tpu.parallel.mesh import make_mesh
+
+    ds = planetoid_like(num_node=64, num_classes=3, num_features=8, seed=0,
+                        train_per_class=4, num_val=8, num_test=8)
+    cfg = ModelConfig(model_name="sgc", prop_steps=2, hidden_dim=8,
+                      num_layers=1)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    adj = sym_norm(ds.adj, 0.5)
+    mesh = make_mesh((2,), ("graph",), jax.devices()[:2])
+
+    with pytest.raises(ValueError, match="unknown comm"):
+        build_spmd_context(adj, ds.x, ds.y, ds.train_idx, spec.module, mesh,
+                           2, comm="ring")
+
+    ctx = build_spmd_context(adj, ds.x, ds.y, ds.train_idx, spec.module,
+                             mesh, 2)
+    ctx, loss = run_steps(ctx, 0)
+    assert np.isnan(loss)
+    ctx, loss = run_steps(ctx, 1)
+    assert np.isfinite(loss)

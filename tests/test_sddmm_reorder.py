@@ -275,30 +275,13 @@ def _hierarchical_community_graph(n=8192, comm=32, group=8, intra_deg=8,
     256-node super-communities; inter-edges mostly go to SIBLING communities
     plus a uniform sprinkle that makes the contracted cluster graph an
     expander (so unweighted RCM cannot recover sibling adjacency — only
-    weight-aware heavy-edge matching can)."""
-    rng = np.random.default_rng(seed)
-    cluster_of = np.arange(n) // comm
-    group_base = (cluster_of // group) * group
-    r_in = np.repeat(np.arange(n), intra_deg)
-    c_in = cluster_of[r_in] * comm + rng.integers(0, comm, r_in.shape)
-    r_s = np.repeat(np.arange(n), sib_deg)
-    sib = group_base[r_s] + rng.integers(0, group, r_s.shape)
-    sib = np.where(sib == cluster_of[r_s],
-                   group_base[r_s] + (sib - group_base[r_s] + 1) % group, sib)
-    c_s = sib * comm + rng.integers(0, comm, r_s.shape)
-    r_u = np.repeat(np.arange(n), uni_deg)
-    c_u = rng.integers(0, n, r_u.shape)
-    r = np.concatenate([r_in, r_s, r_u])
-    c = np.concatenate([c_in, c_s, c_u])
-    keep = r != c
-    shuf = rng.permutation(n)
-    adj = sp.coo_matrix(
-        (np.ones(keep.sum(), np.float32), (shuf[r[keep]], shuf[c[keep]])),
-        shape=(n, n),
-    )
-    adj = (adj + adj.T).tocsr()
-    adj.data[:] = 1.0
-    return adj
+    weight-aware heavy-edge matching can). Canonical generator lives in
+    data.synthetic (same construction the benchmarks measure)."""
+    from ssrg_tpu.data.synthetic import nested_community_graph
+
+    return nested_community_graph(n, comm=comm, group=group,
+                                  intra_deg=intra_deg, sib_deg=sib_deg,
+                                  uni_deg=uni_deg, seed=seed)
 
 
 def test_hierarchical_merge_raises_tiled_fraction():
