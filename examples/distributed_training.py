@@ -13,6 +13,14 @@ def main():
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--nodes", type=int, default=4096)
+    ap.add_argument("--local_engine", default="tiled",
+                    choices=("tiled", "hybrid", "coo"),
+                    help="per-shard SpMM layout (tiled = flagship locality "
+                         "engine: diagonal-block MXU tiles + hybrid rest)")
+    ap.add_argument("--comm", default="halo",
+                    choices=("halo", "all_gather"),
+                    help="per-hop exchange: static halo plan (boundary rows "
+                         "only) or full all_gather")
     args = ap.parse_args()
 
     import jax
@@ -38,13 +46,19 @@ def main():
     ds = planetoid_like(num_node=args.nodes, num_classes=5, num_features=64)
     cfg = ModelConfig(model_name="gamlp", prop_steps=3, hidden_dim=64)
     spec = load_model(cfg, ds.num_features, ds.num_classes)
+    # round-4 fast path: cluster-aligned partition so shard boundaries follow
+    # communities, per-shard TILED local engine, halo-only exchange — see
+    # docs/SCALING.md ("coo" + "all_gather" is the baseline layout)
+    comm = "all_gather" if args.local_engine == "coo" else args.comm
     ctx = build_spmd_context(
         sym_norm(ds.adj, cfg.r), ds.x, ds.y, ds.train_idx, spec.module,
         mesh, cfg.prop_steps, lr=0.01,
+        local_engine=args.local_engine, comm=comm,
+        reorder=None if args.local_engine == "coo" else "cluster",
     )
     ctx, loss = run_steps(ctx, args.steps)
-    print(f"{args.shards}-shard SPMD training: {args.steps} steps, "
-          f"final loss {loss:.4f}")
+    print(f"{args.shards}-shard SPMD training ({args.local_engine}/{comm}): "
+          f"{args.steps} steps, final loss {loss:.4f}")
 
 
 if __name__ == "__main__":
