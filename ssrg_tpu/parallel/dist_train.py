@@ -178,6 +178,17 @@ def build_spmd_context(
         f"(fraction {part.halo_fraction:.3f})"
         if comm == "halo" else ""
     )
+    if comm == "halo" and part.halo_pad >= part.block:
+        # halo ships (D-1)·halo_pad rows/device/hop vs all_gather's
+        # (D-1)·block — with a saturated plan the "optimization" costs MORE
+        get_logger().warning(
+            "halo plan saturated (halo_pad %d >= block %d): each shard needs "
+            "at least a full block of remote rows per peer, so halo exchange "
+            "ships >= the all_gather volume. The graph has no community "
+            "structure under the current ordering — use reorder='cluster' "
+            "(and a community-structured graph) or comm='all_gather'.",
+            part.halo_pad, part.block,
+        )
     get_logger().info(
         "spmd comm (%s, local_engine=%s, %d graph shards): %s/device/hop, "
         "%s mesh total per %d-hop propagate, peak feature memory "

@@ -468,3 +468,30 @@ def test_run_steps_zero_is_noop_and_comm_validated():
     assert np.isnan(loss)
     ctx, loss = run_steps(ctx, 1)
     assert np.isfinite(loss)
+
+
+def test_saturated_halo_plan_warns(caplog):
+    """A halo plan on a structureless graph (halo_pad >= block) ships more
+    bytes than all_gather would — build_spmd_context must say so."""
+    import logging
+
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.parallel.dist_train import build_spmd_context
+    from ssrg_tpu.parallel.mesh import make_mesh
+
+    ds = planetoid_like(num_node=128, num_classes=3, num_features=8, seed=1,
+                        train_per_class=4, num_val=8, num_test=8)
+    cfg = ModelConfig(model_name="sgc", prop_steps=1, hidden_dim=8,
+                      num_layers=1)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    mesh = make_mesh((4,), ("graph",), jax.devices()[:4])
+    with caplog.at_level(logging.WARNING, logger="ssrg_tpu"):
+        ctx = build_spmd_context(
+            sym_norm(ds.adj, 0.5), ds.x, ds.y, ds.train_idx, spec.module,
+            mesh, 1, local_engine="hybrid", comm="halo",
+        )
+    if ctx.adj.halo_pad >= ctx.adj.block:
+        assert any("halo plan saturated" in r.message for r in caplog.records)
