@@ -50,6 +50,10 @@ def main():
     # communities, per-shard TILED local engine, halo-only exchange — see
     # docs/SCALING.md ("coo" + "all_gather" is the baseline layout)
     comm = "all_gather" if args.local_engine == "coo" else args.comm
+    if comm != args.comm:
+        print(f"note: --comm {args.comm} requires a hybrid/tiled local "
+              f"engine; the coo layout keeps global columns, falling back "
+              f"to all_gather")
     ctx = build_spmd_context(
         sym_norm(ds.adj, cfg.r), ds.x, ds.y, ds.train_idx, spec.module,
         mesh, cfg.prop_steps, lr=0.01,

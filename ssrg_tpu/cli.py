@@ -162,6 +162,9 @@ def cmd_spmd(args) -> int:
     from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
     from ssrg_tpu.parallel.mesh import make_mesh
 
+    if args.steps < 1:
+        print(f"error: --steps must be >= 1 (got {args.steps})")
+        return 2
     dataset = _load_dataset(args)
     devices = jax.devices()
     shards = args.num_shards or len(devices)

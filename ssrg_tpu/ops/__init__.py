@@ -6,7 +6,8 @@ host-side graph work) does not initialize jax, so planning scripts can run
 next to a live TPU job without touching the single-tenant relay
 (CLAUDE.md: serialize ALL jax-importing processes with TPU jobs).
 Attribute access (``ssrg_tpu.ops.device_adjacency`` etc.) resolves on
-demand and does import jax.
+demand and does import jax; submodule attributes (``ssrg_tpu.ops.sparse``
+etc.) import lazily too, preserving the eager-init-era public API.
 """
 
 _LAZY = {
@@ -17,21 +18,26 @@ _LAZY = {
     "propagate": ("ssrg_tpu.ops.propagate", "propagate"),
     "propagate_complex": ("ssrg_tpu.ops.propagate", "propagate_complex"),
     "propagate_multi": ("ssrg_tpu.ops.propagate", "propagate_multi"),
-    "normalize": ("ssrg_tpu.ops", "normalize"),
-    "combine": ("ssrg_tpu.ops", "combine"),
 }
 
-__all__ = list(_LAZY)
+_SUBMODULES = (
+    "normalize", "combine", "reorder", "sparse", "propagate", "sddmm",
+    "autotune", "pallas_spmm", "pallas_banded", "pallas_rest",
+)
+
+__all__ = list(_LAZY) + list(_SUBMODULES)
 
 
 def __getattr__(name: str):
-    if name in ("normalize", "combine"):
-        import importlib
+    import importlib
 
+    if name in _SUBMODULES:
         return importlib.import_module(f"ssrg_tpu.ops.{name}")
     if name in _LAZY:
-        import importlib
-
         module, attr = _LAZY[name]
         return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module 'ssrg_tpu.ops' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))

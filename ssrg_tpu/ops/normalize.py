@@ -167,7 +167,7 @@ def _row_col_norm(mat: sp.spmatrix, r: float) -> sp.csr_matrix:
 
 
 def un_in_out_norm(
-    adj: sp.spmatrix, r: float = 0.5
+    adj: sp.spmatrix, r: float = 0.5, max_second_order_nnz: int = 250_000_000
 ) -> Tuple[sp.csr_matrix, sp.csr_matrix, sp.csr_matrix]:
     """Directed triple: undirected sym norm, in-norm(PᵀP), out-norm(PPᵀ)
     with P = D^{-1}(A+I).
@@ -176,12 +176,32 @@ def un_in_out_norm(
     (``operators/utils.py:216-219``); here they stay sparse end-to-end.
     Weights are binarized to 1 before self-loops, as the reference does
     (it rebuilds edge_weight = ones).
+
+    The second-order products densify on hub-heavy graphs (nnz(PᵀP) is
+    bounded by Σ_k indeg(k)²), so the upper bound is estimated BEFORE
+    multiplying and the call refuses with a remedy above
+    ``max_second_order_nnz`` (same contract as the wavelet builder's
+    ``max_nodes`` guard).
     """
     n = adj.shape[0]
     coo = adj.tocoo()
     ones = np.ones(coo.nnz)
     a = sp.csr_matrix((ones, (coo.row, coo.col)), shape=(n, n)) + sp.eye(n)
     a = a.tocsr()
+    indeg = np.asarray((a != 0).sum(axis=0)).reshape(-1).astype(np.int64)
+    outdeg = np.asarray((a != 0).sum(axis=1)).reshape(-1).astype(np.int64)
+    est = int(max(np.square(indeg).sum(), np.square(outdeg).sum()))
+    if est > max_second_order_nnz:
+        raise ValueError(
+            f"un_in_out_norm second-order products PᵀP/PPᵀ can reach ~{est:.2e} "
+            f"nonzeros at N={n} (budget max_second_order_nnz="
+            f"{max_second_order_nnz:.0e}): ~{est * 12 / 2**30:.0f} GB of COO "
+            f"on host. The two-order operators are a small/medium-graph "
+            f"capability (reference operators/utils.py:216-219 materializes "
+            f"them DENSE); for large graphs use sym_norm/ppr_norm-based "
+            f"models, sparsify hubs first, or raise max_second_order_nnz "
+            f"explicitly if you accept the cost."
+        )
     deg = np.asarray(a.sum(axis=1)).reshape(-1)
     with np.errstate(divide="ignore"):
         d_inv = 1.0 / deg
@@ -246,7 +266,8 @@ def fast_ppr_approx_norm(
 
 
 def two_order_ppr_approx_norm(
-    adj: sp.spmatrix, r: float = 0.5, ppr_alpha: float = 0.1
+    adj: sp.spmatrix, r: float = 0.5, ppr_alpha: float = 0.1,
+    max_nodes: int = 10_000,
 ) -> Tuple[sp.csr_matrix, sp.csr_matrix]:
     """First-order pi-symmetrized PPR adjacency + second-order
     co-support-masked (L_in, L_out) average (mirrors
@@ -256,8 +277,26 @@ def two_order_ppr_approx_norm(
     Note: the reference's co-support masking aliases L_in_hat to L_in, so the
     second mask reads an already-modified L_in (SURVEY.md §2.13). Here the
     intended semantics is implemented: both masks come from the originals.
+
+    Inherently dense — the construction materializes four N×N float64
+    matrices and runs an O(N³) left-eigendecomposition — so it refuses with
+    a remedy above ``max_nodes`` (wavelet-guard contract): at arxiv scale
+    (N=169k) the dense intermediates alone would be ~115 GB each.
     """
     n = adj.shape[0]
+    if n > max_nodes:
+        est_gb = (n + 1) * (n + 1) * 8 / 2**30
+        raise ValueError(
+            f"two_order_ppr_approx_norm at N={n} exceeds the supported "
+            f"budget (max_nodes={max_nodes}): the construction is dense by "
+            f"definition — an (N+1)² Google matrix (~{est_gb:.0f} GB f64), "
+            f"an O(N³) left-eigendecomposition, and N² second-order "
+            f"products (reference operators/utils.py:324-424 is equally "
+            f"dense). It is a Planetoid-scale operator; for large graphs "
+            f"use fast_ppr_approx_norm (sparse power iteration) or a "
+            f"sym/ppr-norm model, or raise max_nodes explicitly if you "
+            f"accept the cost."
+        )
     coo = adj.tocoo()
     ones = np.ones(coo.nnz)
     a = (sp.csr_matrix((ones, (coo.row, coo.col)), shape=(n, n)) + sp.eye(n)).tocsr()

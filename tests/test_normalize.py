@@ -147,3 +147,32 @@ def test_model_spec_type_guard():
     mc = ModelConfig(model_name="sgc")
     with pytest.raises(TypeError, match="ModelSpec"):
         NodeClassification(ds, mc, mc, TrainingConfig(num_epochs=1))
+
+
+def test_two_order_ppr_scale_guard():
+    """Above max_nodes the dense construction must refuse with a remedy
+    (VERDICT r4 ask 7; wavelet-guard contract)."""
+    adj = _random_undirected(n=40, density=0.1, seed=0)
+    with pytest.raises(ValueError, match="max_nodes"):
+        normalize.two_order_ppr_approx_norm(adj, max_nodes=10)
+    # remedy text names an actionable alternative
+    with pytest.raises(ValueError, match="fast_ppr_approx_norm"):
+        normalize.two_order_ppr_approx_norm(adj, max_nodes=10)
+    # under the budget it still works
+    one, two = normalize.two_order_ppr_approx_norm(adj, max_nodes=40)
+    assert one.shape == (40, 40)
+
+
+def test_un_in_out_second_order_guard():
+    """Hub-heavy graphs whose PᵀP would densify must refuse with a remedy."""
+    import scipy.sparse as sp
+
+    n = 50
+    # star graph: hub column degree n => est nnz ~ n^2
+    rows = np.zeros(n - 1, np.int64)
+    cols = np.arange(1, n, dtype=np.int64)
+    adj = sp.csr_matrix((np.ones(n - 1), (rows, cols)), shape=(n, n))
+    with pytest.raises(ValueError, match="max_second_order_nnz"):
+        normalize.un_in_out_norm(adj, max_second_order_nnz=100)
+    un, in_l, out_l = normalize.un_in_out_norm(adj)  # default budget passes
+    assert un.shape == (n, n)

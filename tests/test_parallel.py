@@ -482,16 +482,27 @@ def test_saturated_halo_plan_warns(caplog):
     from ssrg_tpu.parallel.dist_train import build_spmd_context
     from ssrg_tpu.parallel.mesh import make_mesh
 
+    import scipy.sparse as sp
+
     ds = planetoid_like(num_node=128, num_classes=3, num_features=8, seed=1,
                         train_per_class=4, num_val=8, num_test=8)
+    # density-0.5 random adjacency: every 32-row block references every row
+    # of every other block, so the halo plan saturates BY CONSTRUCTION
+    # (halo_pad == block) and the warning assertion always executes
+    # (ADVICE r4: the sparse planetoid graph made this test vacuous)
+    rng = np.random.default_rng(0)
+    dense = (rng.random((128, 128)) < 0.5).astype(np.float32)
+    adj = sp.csr_matrix(np.maximum(dense, dense.T))
     cfg = ModelConfig(model_name="sgc", prop_steps=1, hidden_dim=8,
                       num_layers=1)
     spec = load_model(cfg, ds.num_features, ds.num_classes)
     mesh = make_mesh((4,), ("graph",), jax.devices()[:4])
     with caplog.at_level(logging.WARNING, logger="ssrg_tpu"):
         ctx = build_spmd_context(
-            sym_norm(ds.adj, 0.5), ds.x, ds.y, ds.train_idx, spec.module,
+            sym_norm(adj, 0.5), ds.x, ds.y, ds.train_idx, spec.module,
             mesh, 1, local_engine="hybrid", comm="halo",
         )
-    if ctx.adj.halo_pad >= ctx.adj.block:
-        assert any("halo plan saturated" in r.message for r in caplog.records)
+    assert ctx.adj.halo_pad >= ctx.adj.block, (
+        "density-0.5 graph must saturate the halo plan"
+    )
+    assert any("halo plan saturated" in r.message for r in caplog.records)
