@@ -1,0 +1,247 @@
+"""Scatter-free rest engine: sorted-COO segmented reduce as one-hot matmuls.
+
+The round-3/4 analysis (docs/PERFORMANCE.md "scatter-OP-bound") established
+~40-44 M edges/s for the scattered rest of tiled/cluster graphs — but every
+variant measured there funnels through ``jax.ops.segment_sum``, i.e. the XLA
+scatter op. This module attacks the bound from below (VERDICT r4 ask 3) by
+removing the scatter entirely:
+
+1. **Gather phase (XLA):** edges sorted by destination row are cut into
+   static ``chunk``-edge slices; ``x[cols] * vals`` materializes each
+   chunk's neighbor rows as a contiguous ``[chunk, F]`` slab — the part XLA
+   already does at the (transaction-bound) gather rate.
+2. **Reduce phase (no scatter):** each chunk belongs to ONE destination row
+   block (host pads per-block edge lists to chunk multiples), so the
+   segmented sum becomes ``onehot(rows) @ slab`` — a ``[row_block, chunk] x
+   [chunk, F]`` MXU matmul accumulated into the block's ``[row_block, F]``
+   output. The one-hot is built on the fly from an iota compare; the
+   redundant FLOPs are ~row_block× the useful ones, which the MXU absorbs
+   (at row_block=256, chunk=512, F=128 the matmul path peaks orders of
+   magnitude above the scatter bound). Flat chunk→block pairs make the
+   schedule static (the TiledAdj flat-pair idea applied to scattered edges).
+
+Two executors over the same layout:
+
+- :meth:`RestSegmentedAdj.spmm` — ``lax.scan`` over chunk pairs with a
+  ``dynamic_slice``/``dynamic_update_slice`` accumulator (pure XLA, runs
+  everywhere; already scatter-free).
+- :meth:`RestSegmentedAdj.spmm_pallas` — Pallas kernel: the gathered slab
+  stream is pipelined by BlockSpecs, the output block is revisited across
+  consecutive chunks of the same row block (zeroed on first visit,
+  accumulated in VMEM, flushed on block change) — the banded kernel's
+  schedule-imposition lesson applied to the scatter bound.
+
+Forward-only (precompute path, like the other Pallas engines). Measured
+chip results land in docs/PERFORMANCE.md either way (win or bounded
+negative), per the round-4 verdict's "beat it or bound it" ask.
+
+Reference analog: the whole point of ``matmul.c:23-40`` is a scatter-free
+owned-row loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rest_kernel(block_of_ref, rows_ref, g_ref, out_ref):
+    """One edge chunk per grid step: segmented-sum via one-hot MXU matmul,
+    accumulated into the (revisited) destination row-block output."""
+    p = pl.program_id(0)
+    rb = out_ref.shape[0]
+    c = rows_ref.shape[1]
+
+    prev = block_of_ref[jnp.maximum(p - 1, 0)]
+
+    @pl.when((p == 0) | (block_of_ref[p] != prev))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rows = rows_ref[0]                       # [C] local row ids
+    g = g_ref[0]                             # [C, F] gathered slab
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (rb, c), 0) == rows[None, :]
+    ).astype(g.dtype)
+    out_ref[...] += jnp.dot(onehot, g, preferred_element_type=jnp.float32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RestSegmentedAdj:
+    """Sorted-COO rest matrix in flat chunk→row-block layout.
+
+    - ``rows``     int32 [P, C] destination rows LOCAL to the chunk's block
+      (pad entries point at row 0 with val 0)
+    - ``cols``     int32 [P, C] gather-table column indices
+    - ``vals``     f32   [P, C]
+    - ``block_of`` int32 [P] destination row block per chunk (sorted)
+    """
+
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    block_of: jnp.ndarray
+    n_rows: int
+    n_cols: int
+    row_block: int
+    interpret: bool = False
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def chunk(self) -> int:
+        return int(self.rows.shape[1])
+
+    @property
+    def nb(self) -> int:
+        return -(-self.n_rows // self.row_block)
+
+    def _gather(self, x):
+        """[P, C, F] neighbor slabs (the XLA gather phase)."""
+        g = jnp.take(x, self.cols.reshape(-1), axis=0)
+        g = g * self.vals.reshape(-1)[:, None]
+        return g.reshape(self.num_chunks, self.chunk, x.shape[1])
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        """XLA executor: scan over chunk pairs, one-hot matmul reduce,
+        dynamic-slice accumulation — scatter-free end to end."""
+        rb = self.row_block
+        f = x.shape[1]
+        nb = self.nb
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rb, self.chunk), 0)
+
+        def pair(acc, inputs):
+            rows, cols, vals, blk = inputs
+            g = jnp.take(x, cols, axis=0) * vals[:, None]
+            onehot = (iota == rows[None, :]).astype(x.dtype)
+            y = jnp.dot(onehot, g, preferred_element_type=jnp.float32)
+            row0 = blk * rb
+            cur = jax.lax.dynamic_slice(acc, (row0, 0), (rb, f))
+            return jax.lax.dynamic_update_slice(acc, cur + y, (row0, 0)), None
+
+        acc0 = jnp.zeros((nb * rb, f), jnp.float32)
+        out, _ = jax.lax.scan(
+            pair, acc0, (self.rows, self.cols, self.vals, self.block_of)
+        )
+        return out[: self.n_rows]
+
+    def spmm_pallas(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pallas executor: gather in XLA, segmented reduce in a kernel with
+        revisited-output accumulation (no XLA scatter, slab stream pipelined
+        by BlockSpecs)."""
+        rb = self.row_block
+        f_in = x.shape[1]
+        f = f_in if f_in % 128 == 0 else (f_in + 127) // 128 * 128
+        x_p = jnp.pad(x, ((0, 0), (0, f - f_in))) if f != f_in else x
+        g = self._gather(x_p)                 # [P, C, F]
+        p_chunks = self.num_chunks
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p_chunks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, self.chunk), lambda p, blk: (p, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, self.chunk, f), lambda p, blk: (p, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (rb, f), lambda p, blk: (blk[p], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            _rest_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((self.nb * rb, f), jnp.float32),
+            interpret=self.interpret,
+        )(self.block_of, self.rows, g)
+        return out[: self.n_rows, :f_in]
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals, self.block_of), (
+            self.n_rows, self.n_cols, self.row_block, self.interpret,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_rest_segmented(
+    adj: sp.spmatrix,
+    row_block: int = 256,
+    chunk: int = 512,
+    interpret: Optional[bool] = None,
+) -> RestSegmentedAdj:
+    """Host pack: sort edges by destination row, bucket by row block, pad
+    each block's edge list to a ``chunk`` multiple (pad entries: row 0 of
+    the block, col 0, val 0), emit flat [P, C] chunk arrays + block_of."""
+    coo = adj.tocoo()
+    n_rows, n_cols = coo.shape
+    r = coo.row.astype(np.int64)
+    c = coo.col.astype(np.int64)
+    v = coo.data.astype(np.float32)
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], v[order]
+    blk = r // row_block
+    nb = -(-n_rows // row_block)
+
+    rows_chunks, cols_chunks, vals_chunks, block_of = [], [], [], []
+    starts = np.searchsorted(blk, np.arange(nb + 1))
+    for b in range(nb):
+        lo, hi = int(starts[b]), int(starts[b + 1])
+        if hi == lo:
+            # edge-free row block: one all-pad chunk so the Pallas executor
+            # still visits (and zeroes) its output block — unvisited output
+            # blocks would be left uninitialized
+            rows_chunks.append(np.zeros((1, chunk), np.int64))
+            cols_chunks.append(np.zeros((1, chunk), np.int64))
+            vals_chunks.append(np.zeros((1, chunk), np.float32))
+            block_of.append(np.full(1, b, np.int32))
+            continue
+        cnt = hi - lo
+        pad = -(-cnt // chunk) * chunk - cnt
+        rb_loc = np.concatenate([r[lo:hi] - b * row_block,
+                                 np.zeros(pad, np.int64)])
+        cb = np.concatenate([c[lo:hi], np.zeros(pad, np.int64)])
+        vb = np.concatenate([v[lo:hi], np.zeros(pad, np.float32)])
+        k = rb_loc.size // chunk
+        rows_chunks.append(rb_loc.reshape(k, chunk))
+        cols_chunks.append(cb.reshape(k, chunk))
+        vals_chunks.append(vb.reshape(k, chunk))
+        block_of.append(np.full(k, b, np.int32))
+    if not rows_chunks:  # empty matrix: one all-pad chunk
+        rows_chunks = [np.zeros((1, chunk), np.int64)]
+        cols_chunks = [np.zeros((1, chunk), np.int64)]
+        vals_chunks = [np.zeros((1, chunk), np.float32)]
+        block_of = [np.zeros(1, np.int32)]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return RestSegmentedAdj(
+        rows=jnp.asarray(np.concatenate(rows_chunks), jnp.int32),
+        cols=jnp.asarray(np.concatenate(cols_chunks), jnp.int32),
+        vals=jnp.asarray(np.concatenate(vals_chunks)),
+        block_of=jnp.asarray(np.concatenate(block_of)),
+        n_rows=n_rows, n_cols=n_cols, row_block=row_block,
+        interpret=interpret,
+    )

@@ -629,17 +629,19 @@ class ShardedTiledAdj:
 
     The flagship single-chip locality engine (``ops.sparse.TiledAdj`` — the
     measured 2.46× raw-hybrid tier on cluster-reordered graphs,
-    docs/PERFORMANCE.md) under the mesh: diagonal-block tiles run as MXU
-    matmuls against contiguous windows of the shard's OWN feature block and
-    never touch the interconnect; only the rest edges (off-diagonal +
-    scattered) read the exchanged table. On cluster-aligned partitions
-    (``partition.cluster_reorder_for_partition``) that makes BOTH the comm
-    volume (halo mode) and the slow-gather edge count small — the compounding
-    the single-chip pipeline and the halo plan each deliver alone.
+    docs/PERFORMANCE.md) under the mesh: dense tiles run as MXU matmuls
+    against contiguous windows of the per-shard gather TABLE (``[own block ‖
+    recv buffer]`` in halo mode, the gathered X otherwise — round-5: dense
+    off-diagonal bundles tile too, against the halo recv segments); only the
+    scattered rest edges take the ELL/COO gather path. On cluster-aligned
+    partitions (``partition.cluster_reorder_for_partition``) that makes BOTH
+    the comm volume (halo mode) and the slow-gather edge count small — the
+    compounding the single-chip pipeline and the halo plan each deliver
+    alone.
     """
 
     tiles: jax.Array      # f32/bf16 [D, P_pad, row_block, tile_cols]
-    starts: jax.Array     # int32 [D, P_pad] (LOCAL column starts)
+    starts: jax.Array     # int32 [D, P_pad] (TABLE-coordinate col starts)
     block_of: jax.Array   # int32 [D, P_pad]
     ell_cols: jax.Array   # int32 [D, block, width]
     ell_vals: jax.Array   # f32   [D, block, width]
@@ -706,17 +708,20 @@ def shard_adjacency_tiled(
     )
 
 
-def _tiled_local_spmm(tiles, starts, block_of, h_block, axis: str):
-    """Flat-pair tile schedule against the shard's own feature block — the
+def _tiled_local_spmm(tiles, starts, block_of, table, block: int, axis: str):
+    """Flat-pair tile schedule against the shard's gather table — the
     ``TiledAdj.spmm`` loop per shard: one contiguous ``dynamic_slice`` window
     + one MXU matmul per dense tile, accumulated into the tile's destination
-    row block. Pad tiles are all-zero (no-op adds into block 0)."""
+    row block. ``starts`` are TABLE coordinates (round-5: off-diagonal tiles
+    address the halo recv segments / gathered X); the caller pads the table
+    to a ``tile_cols`` multiple so every window slice is in-bounds. Pad
+    tiles are all-zero (no-op adds into block 0)."""
     p, rb, tc = tiles.shape
-    block, f = h_block.shape
+    f = table.shape[1]
 
     def pair(acc, inputs):
         tile, start, blk = inputs
-        xw = jax.lax.dynamic_slice(h_block, (start, 0), (tc, f))
+        xw = jax.lax.dynamic_slice(table, (start, 0), (tc, f))
         y = jnp.dot(tile, xw.astype(tile.dtype),
                     preferred_element_type=jnp.float32)
         row0 = blk * rb
@@ -739,18 +744,24 @@ def dist_propagate_tiled(
     """K-hop propagation with the TILED local engine under shard_map.
 
     Per hop: exchange (all-gather, or halo-only ``all_to_all`` per
-    ``adj.send_idx``), then per shard (a) dense-tile MXU matmuls on the
-    diagonal block against the shard's own rows — no exchange data touched —
-    and (b) the ELL gather-reduce + COO-tail rest against the exchange
-    table. Returns ``[K+1, n_pad, F]`` sharded over ``adj.axis``; equivalent
-    (f32 roundoff; bf16 tiles round the tile part) to single-device
-    ``ops.propagate``."""
+    ``adj.send_idx``), then per shard (a) dense-tile MXU matmuls against
+    contiguous windows of the exchange table (diagonal bundles hit the
+    shard's own rows; round-5, off-diagonal bundles hit the halo recv
+    segments) and (b) the ELL gather-reduce + COO-tail rest against the
+    same table. Returns ``[K+1, n_pad, F]`` sharded over ``adj.axis``;
+    equivalent (f32 roundoff; bf16 tiles round the tile part) to
+    single-device ``ops.propagate``."""
     axis = adj.axis
     block = adj.block
     num_shards = adj.num_shards
     halo = adj.send_idx is not None
     halo_pad = adj.halo_pad
     tail_chunk = adj.tail_chunk
+    tile_cols = adj.tiles.shape[-1]
+    table_rows = block + num_shards * halo_pad if halo else block * num_shards
+    # pad the table so the last tile-column window is sliceable; tiles carry
+    # zeros beyond the true table rows, so the padded values never contribute
+    table_pad = (-(-table_rows // tile_cols)) * tile_cols - table_rows
     if block % row_block:
         row_block = max(
             rb for rb in (8, 16, 32, 64, 128, 256) if block % rb == 0
@@ -785,8 +796,10 @@ def dist_propagate_tiled(
 
         def step(h_block, _):
             table = _exchange_table(h_block, send, axis, num_shards, halo_pad)
+            table_t = (jnp.pad(table, ((0, table_pad), (0, 0)))
+                       if table_pad else table)
             h_next = _tiled_local_spmm(tiles, starts, block_of,
-                                       h_block, axis)
+                                       table_t, block, axis)
             h_next = h_next + _ell_local_spmm(ec, ev, table, row_block)
             h_next = h_next + _local_spmm(
                 tr, tc_, tv, table, block, tail_chunk, axis=axis
@@ -797,3 +810,258 @@ def dist_propagate_tiled(
         return jnp.concatenate([x_block[None], hops], axis=0)
 
     return run(*operands, x_sharded)
+
+
+# ---------------------------------------------------------------------------
+# Ring exchange with the HYBRID local engine (round-5): the memory-bounded
+# papers100M variant no longer pays the scatter-bound segment-sum rate
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RingHybridPartitionArrays:
+    """Ring partition with each (shard, visiting-block) bucket packed in the
+    ELL+COO hybrid layout (round-5, VERDICT r4 ask 4): ``dist_propagate_ring``
+    previously ran every bucket through ``segment_sum`` — the measured
+    ~40 M edges/s scatter bound (docs/PERFORMANCE.md) — while the all-gather
+    path got the ~5× hybrid engine in round 4. Same mechanical pack
+    (``native.ell_hybrid_pack``) per bucket, shapes equalized across all
+    (d, j) pairs so the whole structure stacks into static shard_map inputs.
+
+    - ``ell_cols``/``ell_vals``  [D, D, block, width]  entry [d, j]: shard
+      d's edges whose source lies in block j, LOCAL rows x LOCAL cols
+    - ``tail_rows/cols/vals``    [D, D, tail_pad]      hub-overflow COO
+    """
+
+    ell_cols: np.ndarray
+    ell_vals: np.ndarray
+    tail_rows: np.ndarray
+    tail_cols: np.ndarray
+    tail_vals: np.ndarray
+    block: int
+    n: int
+    width: int
+    tail_chunk: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.ell_cols.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.num_shards
+
+
+def partition_rows_ring_hybrid(
+    adj, num_shards: int, row_align: int = 8,
+    width: Optional[int] = None, width_percentile: float = 95.0,
+    lane_pad: int = 8, tail_chunk: int = 1 << 19,
+) -> RingHybridPartitionArrays:
+    """Host-side column-bucketed partition with per-bucket hybrid packs.
+
+    ``width`` defaults to the p95 degree over rows that HAVE edges in a
+    bucket (bucket matrices are row-sparse: most rows hold nothing for a
+    given visiting block, and counting those zeros would collapse the
+    percentile and push everything to the slow tail)."""
+    import scipy.sparse as sp
+
+    from ssrg_tpu import native
+    from ssrg_tpu.parallel.partition import _round_up
+
+    csr = adj.tocsr()
+    n = csr.shape[0]
+    block = _round_up(-(-n // num_shards), row_align)
+
+    buckets = []  # [d][j] -> (rows, cols_local, vals)
+    nz_degs = []
+    for d in range(num_shards):
+        lo, hi = d * block, min((d + 1) * block, n)
+        sub = (csr[lo:hi] if lo < n
+               else sp.csr_matrix((0, n), dtype=csr.dtype)).tocoo()
+        row = []
+        col_block = sub.col // block
+        for j in range(num_shards):
+            m = col_block == j
+            r = sub.row[m].astype(np.int64)
+            c = (sub.col[m] - j * block).astype(np.int64)
+            v = sub.data[m].astype(np.float32)
+            row.append((r, c, v))
+            if r.size:
+                nz_degs.append(np.bincount(r)[np.bincount(r) > 0])
+        buckets.append(row)
+    if width is None:
+        all_deg = (np.concatenate(nz_degs) if nz_degs
+                   else np.ones(1, np.int64))
+        width = int(np.percentile(all_deg, width_percentile))
+        width = _round_up(max(width, 1), lane_pad)
+
+    packed = [[None] * num_shards for _ in range(num_shards)]
+    max_tail = 1
+    for d in range(num_shards):
+        for j in range(num_shards):
+            r, c, v = buckets[d][j]
+            order = np.lexsort((c, r))
+            r, c, v = r[order], c[order], v[order]
+            indptr = np.zeros(block + 1, np.int64)
+            np.add.at(indptr, r + 1, 1)
+            ec, ev, tr, tc, tv = native.ell_hybrid_pack(
+                np.cumsum(indptr), c.astype(np.int32), v, width, block
+            )
+            packed[d][j] = (ec, ev, tr, tc, tv)
+            max_tail = max(max_tail, tr.size)
+
+    if max_tail <= tail_chunk:
+        tail_chunk = max(_round_up(max_tail, 512), 512)
+        tail_pad = tail_chunk
+    else:
+        num_chunks = -(-max_tail // tail_chunk)
+        tail_chunk = _round_up(-(-max_tail // num_chunks), 512)
+        tail_pad = num_chunks * tail_chunk
+
+    ell_cols = np.zeros((num_shards, num_shards, block, width), np.int32)
+    ell_vals = np.zeros((num_shards, num_shards, block, width), np.float32)
+    tail_rows = np.zeros((num_shards, num_shards, tail_pad), np.int32)
+    tail_cols = np.zeros((num_shards, num_shards, tail_pad), np.int32)
+    tail_vals = np.zeros((num_shards, num_shards, tail_pad), np.float32)
+    for d in range(num_shards):
+        for j in range(num_shards):
+            ec, ev, tr, tc, tv = packed[d][j]
+            ell_cols[d, j] = ec
+            ell_vals[d, j] = ev
+            tail_rows[d, j, : tr.size] = tr
+            tail_cols[d, j, : tc.size] = tc
+            tail_vals[d, j, : tv.size] = tv
+    return RingHybridPartitionArrays(
+        ell_cols, ell_vals, tail_rows, tail_cols, tail_vals,
+        block=block, n=n, width=width, tail_chunk=tail_chunk,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedAdjRingHybrid:
+    """Device-resident ring-hybrid adjacency bound to a mesh axis."""
+
+    ell_cols: jax.Array   # int32 [D, D, block, width]
+    ell_vals: jax.Array   # f32   [D, D, block, width]
+    tail_rows: jax.Array  # int32 [D, D, tail_pad]
+    tail_cols: jax.Array  # int32 [D, D, tail_pad]
+    tail_vals: jax.Array  # f32   [D, D, tail_pad]
+    mesh: Mesh
+    axis: str
+    block: int
+    n: int
+    width: int
+    tail_chunk: int
+
+    def tree_flatten(self):
+        return (
+            self.ell_cols, self.ell_vals,
+            self.tail_rows, self.tail_cols, self.tail_vals,
+        ), (self.mesh, self.axis, self.block, self.n, self.width,
+            self.tail_chunk)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_shards(self) -> int:
+        return self.ell_cols.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.num_shards
+
+
+def shard_adjacency_ring_hybrid(
+    part: RingHybridPartitionArrays, mesh: Mesh, axis: str = "graph"
+) -> ShardedAdjRingHybrid:
+    s3 = NamedSharding(mesh, P(axis, None, None))
+    s4 = NamedSharding(mesh, P(axis, None, None, None))
+    return ShardedAdjRingHybrid(
+        ell_cols=jax.device_put(part.ell_cols, s4),
+        ell_vals=jax.device_put(part.ell_vals, s4),
+        tail_rows=jax.device_put(part.tail_rows, s3),
+        tail_cols=jax.device_put(part.tail_cols, s3),
+        tail_vals=jax.device_put(part.tail_vals, s3),
+        mesh=mesh, axis=axis, block=part.block, n=part.n,
+        width=part.width, tail_chunk=part.tail_chunk,
+    )
+
+
+def dist_propagate_ring_hybrid(
+    adj: ShardedAdjRingHybrid,
+    x_sharded: jax.Array,
+    prop_steps: int,
+    row_block: int = 256,
+) -> jax.Array:
+    """Ppermute-ring propagation with the HYBRID local engine per bucket.
+
+    Identical dataflow to :func:`dist_propagate_ring` (each device holds
+    only its own + the visiting feature block, O(2·block·F) peak memory,
+    every ppermute overlaps the local bucket SpMM), but the bucket multiply
+    is the ELL gather-reduce + COO-tail layout instead of the scatter-bound
+    ``segment_sum`` — the same local-engine upgrade the all-gather path got
+    in round 4 (VERDICT r4 ask 4)."""
+    axis = adj.axis
+    block = adj.block
+    num_shards = adj.num_shards
+    tail_chunk = adj.tail_chunk
+    if block % row_block:
+        row_block = max(
+            rb for rb in (8, 16, 32, 64, 128, 256) if block % rb == 0
+        )
+
+    @partial(
+        shard_map,
+        mesh=adj.mesh,
+        in_specs=(
+            P(axis, None, None, None), P(axis, None, None, None),
+            P(axis, None, None), P(axis, None, None), P(axis, None, None),
+            P(axis, None),
+        ),
+        out_specs=P(None, axis, None),
+    )
+    def run(ec_b, ev_b, tr_b, tc_b, tv_b, x_block):
+        ec_b, ev_b = ec_b[0], ev_b[0]
+        tr_b, tc_b, tv_b = tr_b[0], tc_b[0], tv_b[0]
+        my = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+
+        def hop(h_block):
+            def ring_step(s, carry):
+                acc, visiting = carry
+                src = jax.lax.rem(my - s + num_shards, num_shards)
+                ec = jax.lax.dynamic_index_in_dim(ec_b, src, 0, False)
+                ev = jax.lax.dynamic_index_in_dim(ev_b, src, 0, False)
+                tr = jax.lax.dynamic_index_in_dim(tr_b, src, 0, False)
+                tc = jax.lax.dynamic_index_in_dim(tc_b, src, 0, False)
+                tv = jax.lax.dynamic_index_in_dim(tv_b, src, 0, False)
+                acc = acc + _ell_local_spmm(ec, ev, visiting, row_block)
+                acc = acc + _local_spmm(
+                    tr, tc, tv, visiting, block, tail_chunk, axis=axis
+                )
+                visiting = jax.lax.ppermute(visiting, axis, perm)
+                return acc, visiting
+
+            acc0 = jax.lax.pcast(
+                jnp.zeros((block, h_block.shape[1]), jnp.float32), (axis,),
+                to="varying",
+            )
+            acc, _ = jax.lax.fori_loop(
+                0, num_shards, ring_step, (acc0, h_block)
+            )
+            return acc
+
+        def step(h_block, _):
+            h_next = hop(h_block)
+            return h_next, h_next
+
+        _, hops = jax.lax.scan(step, x_block, None, length=prop_steps)
+        return jnp.concatenate([x_block[None], hops], axis=0)
+
+    return run(
+        adj.ell_cols, adj.ell_vals,
+        adj.tail_rows, adj.tail_cols, adj.tail_vals, x_sharded,
+    )

@@ -44,6 +44,39 @@ def _pow2_pad(n: int, floor: int = 1 << 12) -> int:
     return -(-n // _CHUNK) * _CHUNK
 
 
+def _row_block_for(block: int) -> int:
+    return max(rb for rb in (8, 16, 32, 64, 128, 256) if block % rb == 0)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _block_spmm_ell(ell_cols, ell_vals, x_block, acc, block):
+    """acc += ELL gather-reduce of one (dest, src) bucket against the source
+    feature block — the round-5 hybrid fast path for the out-of-core engine
+    (the einsum reduction over the neighbor axis replaces the XLA scatter;
+    same schedule as the single-chip ``ELLAdj.spmm``)."""
+    import jax.numpy as jnp
+
+    n_pad, width = ell_cols.shape
+    f = x_block.shape[1]
+    rb = _row_block_for(block)
+    nb = block // rb
+    cols_b = ell_cols.reshape(nb, rb, width)
+    vals_b = ell_vals.reshape(nb, rb, width)
+
+    def step(carry, inp):
+        c, v = inp
+        gathered = jnp.take(x_block, c.reshape(-1), axis=0).reshape(
+            rb, width, f
+        )
+        out = jnp.einsum(
+            "rw,rwf->rf", v, gathered, preferred_element_type=jnp.float32
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(step, None, (cols_b, vals_b))
+    return acc + outs.reshape(block, f)
+
+
 @partial(jax.jit, static_argnames=("block",))
 def _block_spmm(rows, cols_local, vals, x_block, acc, block):
     """acc += segment_sum(x_block[cols_local] * vals, rows), scanned over
@@ -97,9 +130,18 @@ def outofcore_propagate(
     mode: str = "auto",
     acc_budget_bytes: int = 4 << 30,
     transfer_dtype: str = "float32",
+    local_engine: str = "hybrid",
 ) -> List[str]:
     """Run K hops block-at-a-time; returns the list of per-hop directories
     (``hop0`` … ``hop<K>``), each holding ``num_shards`` block files.
+
+    ``local_engine='hybrid'`` (default, round-5 — VERDICT r4 ask 4) packs
+    each (dest, src) bucket into ELL slots + a COO overflow tail once on the
+    host and runs the ELL part as a gather+einsum reduce (no XLA scatter);
+    only hub-overflow edges take the ``segment_sum`` path.
+    ``local_engine='coo'`` keeps the pure segment-sum oracle tier. ELL
+    widths and tail pads are quantized to powers of two so the jitted
+    block-kernel shape count stays bounded.
 
     Two schedules:
 
@@ -165,6 +207,63 @@ def outofcore_propagate(
         vals[: hi - lo] = v[lo:hi]
         return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
 
+    hybrid_packs: dict = {}
+
+    def hybrid_bucket(i: int, j: int):
+        """(ell_cols, ell_vals, tail | None) for bucket (i, j), packed once;
+        width = pow2-quantized p95 of the bucket's nonzero row degrees, tail
+        pow2-padded — bounded distinct compile shapes."""
+        if (i, j) in hybrid_packs:
+            return hybrid_packs[(i, j)]
+        from ssrg_tpu import native
+
+        r, c_local, v, offsets = buckets[i]
+        lo, hi = int(offsets[j]), int(offsets[j + 1])
+        if hi == lo:
+            hybrid_packs[(i, j)] = None
+            return None
+        r, c, v = r[lo:hi], c_local[lo:hi], v[lo:hi]
+        order = np.lexsort((c, r))
+        r, c, v = (r[order].astype(np.int64), c[order].astype(np.int32),
+                   v[order].astype(np.float32))
+        deg = np.bincount(r, minlength=block)
+        nz = deg[deg > 0]
+        width = int(np.percentile(nz, 95)) if nz.size else 1
+        w = 8
+        while w < width:
+            w <<= 1
+        indptr = np.zeros(block + 1, np.int64)
+        np.add.at(indptr, r + 1, 1)
+        ec, ev, tr, tc, tv = native.ell_hybrid_pack(
+            np.cumsum(indptr), c, v, w, block
+        )
+        tail = None
+        if tr.size:
+            t_pad = _pow2_pad(tr.size, floor=1 << 9)
+            tr_p = np.zeros(t_pad, np.int32)
+            tc_p = np.zeros(t_pad, np.int32)
+            tv_p = np.zeros(t_pad, np.float32)
+            tr_p[: tr.size], tc_p[: tc.size], tv_p[: tv.size] = tr, tc, tv
+            tail = (jnp.asarray(tr_p), jnp.asarray(tc_p), jnp.asarray(tv_p))
+        hybrid_packs[(i, j)] = (jnp.asarray(ec), jnp.asarray(ev), tail)
+        return hybrid_packs[(i, j)]
+
+    def apply_bucket(i: int, j: int, xj, acc):
+        """acc += A[i, j] @ xj with the selected local engine."""
+        if local_engine == "hybrid":
+            pack = hybrid_bucket(i, j)
+            if pack is None:
+                return acc
+            ec, ev, tail = pack
+            acc = _block_spmm_ell(ec, ev, xj, acc, block)
+            if tail is not None:
+                acc = _block_spmm(*tail, xj, acc, block)
+            return acc
+        bucket = padded_bucket(i, j)
+        if bucket is None:
+            return acc
+        return _block_spmm(*bucket, xj, acc, block)
+
     for h in range(prop_steps):
         prev_dir = hop_dirs[-1]
         cur_dir = osp.join(work_dir, f"hop{h + 1}")
@@ -174,21 +273,18 @@ def outofcore_propagate(
             for j in range(s):
                 xj = load_block(prev_dir, j)
                 for i in range(s):
-                    bucket = padded_bucket(i, j)
-                    if bucket is None:
-                        continue
-                    accs[i] = _block_spmm(*bucket, xj, accs[i], block)
+                    accs[i] = apply_bucket(i, j, xj, accs[i])
             for i in range(s):
                 np.save(osp.join(cur_dir, f"block{i}.npy"), np.asarray(accs[i]))
         else:
             for i in range(s):
                 acc = jnp.zeros((block, f_dim), jnp.float32)
                 for j in range(s):
-                    bucket = padded_bucket(i, j)
-                    if bucket is None:
-                        continue
+                    r_i, _, _, offsets = buckets[i]
+                    if offsets[j] == offsets[j + 1]:
+                        continue  # empty bucket: skip the block transfer
                     xj = load_block(prev_dir, j)
-                    acc = _block_spmm(*bucket, xj, acc, block)
+                    acc = apply_bucket(i, j, xj, acc)
                 np.save(osp.join(cur_dir, f"block{i}.npy"), np.asarray(acc))
         if verbose:
             print(f"out-of-core hop {h + 1}/{prop_steps} done ({mode})")

@@ -309,18 +309,22 @@ class TiledPartition:
     1-D row partition (round-3 verdict ask 1's second half — "a per-shard
     TiledAdj whose tiles address the gathered X").
 
-    Diagonal-block edges (row AND column in the shard's block — on
-    cluster-aligned partitions the overwhelming majority) pack into
-    [row_block × tile_cols] dense tiles that run as MXU matmuls against
-    contiguous windows of the shard's OWN feature block: they never touch
-    the exchange at all. Everything else (off-diagonal edges + scattered
-    diagonal edges below ``min_edges_per_tile``) spills into the same
-    ELL+COO rest layout as :class:`HybridPartition`, addressing the gather
-    table (full gathered X, or ``[own block ‖ recv buffer]`` in halo mode).
+    Tiling happens in TABLE space (round-5, VERDICT r4 weak #5): every edge
+    column is first mapped into the per-shard gather table — ``[own block ‖
+    recv buffer]`` in halo mode, the full gathered X otherwise — and any
+    [row_block × tile_cols] cell of THAT table holding ≥
+    ``min_edges_per_tile`` edges packs into a dense MXU tile. Diagonal-block
+    bundles tile against the shard's own rows exactly as before, but dense
+    OFF-diagonal bundles (cluster-aligned shard pairs sharing a community
+    split across a boundary) now tile against the halo buffer's contiguous
+    recv segments instead of all spilling to the gather rest — the per-shard
+    tiled_fraction matches the single-chip pipeline's on the same graph.
+    Everything else spills into the same ELL+COO rest layout as
+    :class:`HybridPartition`, addressing the same table.
 
     - ``tiles``     f32  [D, P_pad, row_block, tile_cols] (zero pad tiles)
-    - ``starts``    int32 [D, P_pad] column start of each tile, LOCAL to the
-      shard's block (multiples of ``tile_cols``; 0 on padding)
+    - ``starts``    int32 [D, P_pad] column start of each tile in TABLE
+      coordinates (multiples of ``tile_cols``; 0 on padding)
     - ``block_of``  int32 [D, P_pad] destination row block within the shard
     - rest arrays / halo plan exactly as :class:`HybridPartition`
     """
@@ -374,10 +378,12 @@ def partition_rows_tiled(
     """Row-partition a CSR adjacency into per-shard dense tiles + hybrid rest.
 
     Meant to run AFTER :func:`cluster_reorder_for_partition` (shard
-    boundaries following communities are what make the diagonal blocks
+    boundaries following communities are what make the table blocks
     tile-dense and the halo small). The tile pack is the host (numpy) path
-    of ``ops.sparse.build_tiled`` restricted to each shard's diagonal block;
-    at out-of-host-memory scale stream shards through
+    of ``ops.sparse.build_tiled`` run in each shard's TABLE coordinates
+    (round-5: dense off-diagonal bundles tile against the halo recv
+    segments / gathered X, see :class:`TiledPartition`); at
+    out-of-host-memory scale stream shards through
     ``ops.sparse.build_tiled(device_scatter=True)`` instead."""
     from ssrg_tpu import native
 
@@ -387,26 +393,48 @@ def partition_rows_tiled(
         raise ValueError("partition_rows_tiled expects a square adjacency")
     row_align = int(np.lcm(row_block, tile_cols))
     block = _round_up(-(-n // num_shards), row_align)
-    num_segs = block // tile_cols
     nb_local = block // row_block
 
+    # per-shard COO (rows local, cols global)
+    shard_coos = []
+    for d in range(num_shards):
+        lo = d * block
+        sub = (csr[lo: min(lo + block, n)] if lo < n
+               else sp.csr_matrix((0, n), dtype=csr.dtype)).tocoo()
+        shard_coos.append((
+            sub.row.astype(np.int64), sub.col.astype(np.int64),
+            sub.data.astype(np.float32),
+        ))
+
+    # halo plan from ALL referenced columns (identical to the plan from rest
+    # columns alone: tiled diagonal edges are local, and off-diagonal
+    # columns must cross the interconnect whether a tile or the ELL rest
+    # consumes them)
+    send_idx = None
+    halo_pad = 0
+    halo_fraction = 0.0
+    col_maps: list = [None] * num_shards
+    if halo:
+        send_idx, halo_pad, halo_fraction, col_maps = _build_halo_plan(
+            [c for _, c, _ in shard_coos], num_shards, block, lane_pad
+        )
+        table_rows = block + num_shards * halo_pad
+    else:
+        table_rows = block * num_shards
+    # tile-grid column segments span the whole gather table
+    num_segs = -(-table_rows // tile_cols)
+
     shard_tiles: list = []       # per shard: (tiles [P_d, rb, tc], starts, blks)
-    rest_csrs: list = []         # per shard: (indptr, indices(local), data)
-    rest_cols_global: list = []  # per shard: global cols of rest edges
+    rest_csrs: list = []         # per shard: (indptr, table cols, data)
     dense_edges = 0
     for d in range(num_shards):
-        lo, hi = d * block, min((d + 1) * block, n)
-        sub = (csr[lo:hi] if lo < n
-               else sp.csr_matrix((0, n), dtype=csr.dtype)).tocoo()
-        r, c, v = (sub.row.astype(np.int64), sub.col.astype(np.int64),
-                   sub.data.astype(np.float32))
-        own = (c >= lo) & (c < lo + block)
-        c_loc = c - lo
-        key = np.full(r.shape, -1, np.int64)
-        key[own] = (r[own] // row_block) * num_segs + c_loc[own] // tile_cols
+        r, c, v = shard_coos[d]
+        c_t = (_remap_cols(c, d, block, col_maps[d]).astype(np.int64)
+               if halo else c)
+        key = (r // row_block) * num_segs + c_t // tile_cols
         uniq, inv, counts = np.unique(key, return_inverse=True,
                                       return_counts=True)
-        dense_key = (uniq >= 0) & (counts >= min_edges_per_tile)
+        dense_key = counts >= min_edges_per_tile
         is_dense = dense_key[inv]
         dense_edges += int(is_dense.sum())
 
@@ -419,7 +447,7 @@ def partition_rows_tiled(
             e = is_dense
             flat = (rank[inv[e]] * row_block * tile_cols
                     + (r[e] % row_block) * tile_cols
-                    + c_loc[e] % tile_cols)
+                    + c_t[e] % tile_cols)
             np.add.at(tiles_d.reshape(-1), flat, v[e])
         shard_tiles.append((
             tiles_d,
@@ -429,22 +457,12 @@ def partition_rows_tiled(
             if p_d else np.zeros(1, np.int32),
         ))
 
-        rr, cc, vv = r[~is_dense], c[~is_dense], v[~is_dense]
+        rr, cc, vv = r[~is_dense], c_t[~is_dense], v[~is_dense]
         order = np.lexsort((cc, rr))
         rr, cc, vv = rr[order], cc[order], vv[order]
         indptr = np.zeros(block + 1, np.int64)
         np.add.at(indptr, rr + 1, 1)
         rest_csrs.append((np.cumsum(indptr), cc, vv))
-        rest_cols_global.append(cc)
-
-    send_idx = None
-    halo_pad = 0
-    halo_fraction = 0.0
-    col_maps: list = [None] * num_shards
-    if halo:
-        send_idx, halo_pad, halo_fraction, col_maps = _build_halo_plan(
-            rest_cols_global, num_shards, block, lane_pad
-        )
 
     if width is None:
         rest_degs = np.concatenate(
@@ -456,10 +474,8 @@ def partition_rows_tiled(
     packed = []
     max_tail = 1
     for d, (indptr, cc, vv) in enumerate(rest_csrs):
-        cols_r = (cc.astype(np.int32) if not halo
-                  else _remap_cols(cc, d, block, col_maps[d]))
         ec, ev, tr, tc_, tv = native.ell_hybrid_pack(
-            indptr, cols_r, vv, width, block
+            indptr, cc.astype(np.int32), vv, width, block
         )
         packed.append((ec, ev, tr, tc_, tv))
         max_tail = max(max_tail, tr.size)

@@ -91,6 +91,31 @@ def test_cli_spmd_synthetic(capsys):
     out = capsys.readouterr().out
     assert "spmd: mesh {'graph': 4, 'data': 2}" in out
     assert "engine tiled" in out and "comm halo" in out
+    # round-5: the spmd surface reports the eval protocol, not just loss
+    assert "best val" in out and "best test" in out
+
+
+def test_cli_spmd_multi_run(capsys):
+    rc = main([
+        "spmd", "--synthetic", "--synthetic_nodes", "128",
+        "--synthetic_classes", "3", "--synthetic_features", "8",
+        "--num_shards", "2", "--local_engine", "hybrid",
+        "--comm", "all_gather", "--reorder", "none",
+        "--hidden_dim", "8", "--prop_steps", "1", "--steps", "5",
+        "--num_runs", "2", "--lr", "0.05",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "±" in out and "over 2 runs" in out
+
+
+def test_cli_spmd_rejects_zero_steps(capsys):
+    rc = main([
+        "spmd", "--synthetic", "--synthetic_nodes", "64",
+        "--num_shards", "2", "--steps", "0",
+    ])
+    assert rc == 2
+    assert "--steps must be >= 1" in capsys.readouterr().out
 
 
 def test_cli_autotune(capsys):

@@ -214,6 +214,9 @@ def test_propagate_schedules_agree(staged, tmp_path):
     d_bf = outofcore_propagate(meta, feats, 2, str(tmp_path / "bf"),
                                mode="source_outer",
                                transfer_dtype="bfloat16")
+    # round-5: the hybrid default must agree with the coo oracle tier
+    d_coo = outofcore_propagate(meta, feats, 2, str(tmp_path / "coo"),
+                                mode="source_outer", local_engine="coo")
     for h in range(3):
         for i in range(meta.num_shards):
             a = np.load(osp.join(d_src[h], f"block{i}.npy"))
@@ -221,3 +224,5 @@ def test_propagate_schedules_agree(staged, tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
             c = np.load(osp.join(d_bf[h], f"block{i}.npy"))
             np.testing.assert_allclose(c, a, rtol=2e-2, atol=2e-2)
+            d = np.load(osp.join(d_coo[h], f"block{i}.npy"))
+            np.testing.assert_allclose(d, a, rtol=2e-5, atol=2e-5)

@@ -367,9 +367,28 @@ def test_tiled_partition_covers_all_edges():
     total = int((part.tiles != 0).sum() + (part.ell_vals != 0).sum()
                 + (part.tail_vals != 0).sum())
     assert total == p.nnz
-    # tile starts are local (within the shard's block) and aligned
-    assert part.starts.max() < part.block
+    # tile starts live in TABLE coordinates (round-5: [own block ‖ recv
+    # buffer]) and are tile_cols-aligned
+    table_rows = part.block + part.num_shards * part.halo_pad
+    assert part.starts.max() < table_rows
     assert (part.starts % part.tile_cols == 0).all()
+
+
+def test_tiled_partition_tiles_off_diagonal_bundles():
+    """Round-5 (VERDICT r4 weak #5): a dense community bundle that a shard
+    boundary splits must tile against the halo recv segment, not spill to
+    the gather rest — some tile starts land in the recv region and the
+    tiled_fraction stays near the single-chip value."""
+    from ssrg_tpu.parallel.partition import partition_rows_tiled
+
+    # 8 shards of a 256-node graph with 8 communities: block 32 = community
+    # size, but the affinity order rarely aligns all boundaries, so split
+    # bundles exist; with table-space tiling they still tile
+    p, _ = _community_graph(n=256, classes=8, seed=7)
+    part = partition_rows_tiled(p, 8, halo=True, **_TOY_TILE_KW)
+    off_diag_tiles = int((part.starts >= part.block).sum())
+    assert off_diag_tiles > 0, "expected tiles addressing the recv buffer"
+    assert part.tiled_fraction > 0.6, part.tiled_fraction
 
 
 def test_tiled_dist_propagate_arbitrary_graph():
@@ -506,3 +525,105 @@ def test_saturated_halo_plan_warns(caplog):
         "density-0.5 graph must saturate the halo plan"
     )
     assert any("halo plan saturated" in r.message for r in caplog.records)
+
+
+def test_spmd_eval_protocol_matches_single_device():
+    """Round-5 (VERDICT r4 ask 2): the SPMD epoch-scan trainer must produce
+    the reference best-val→test protocol under the mesh, with accuracies
+    matching the single-device task on the same SBM (±band)."""
+    from ssrg_tpu.configs.config import ModelConfig, TrainingConfig
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.parallel.dist_train import (
+        build_spmd_context, evaluate, run_epochs_scan, run_multi,
+    )
+    from ssrg_tpu.parallel.mesh import make_mesh
+    from ssrg_tpu.train.node_classification import NodeClassification
+
+    ds = planetoid_like(num_node=600, num_classes=4, num_features=48, seed=0,
+                        train_per_class=20, num_val=100, num_test=200)
+    cfg = ModelConfig(model_name="sgc", prop_steps=3, hidden_dim=32)
+    tcfg = TrainingConfig(num_epochs=60, lr=0.05, weight_decay=1e-5,
+                          scan_epochs=True)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    task = NodeClassification(ds, spec, cfg, tcfg)
+    assert task.best_test > 0.8  # sanity: the SBM is separable
+
+    mesh = make_mesh((4, 2), ("graph", "data"), jax.devices()[:8])
+    adj_norm = normalize.sym_norm(ds.adj, cfg.r)
+    ctx = build_spmd_context(
+        adj_norm, ds.x, ds.y, ds.train_idx, spec.module, mesh,
+        cfg.prop_steps, lr=0.05, data_axis="data",
+        local_engine="hybrid", comm="all_gather",
+        val_idx=ds.val_idx, test_idx=ds.test_idx,
+    )
+    ctx, res = run_epochs_scan(ctx, 60, seed=0)
+    assert np.isfinite(res.final_loss)
+    assert res.best_val > 0.0 and res.best_test > 0.0
+    # the protocol under the mesh matches the single-device task's outcome
+    assert abs(res.best_test - task.best_test) < 0.1
+    assert res.history[0].shape == (60,)  # per-epoch loss history
+    # loss decreased over training
+    assert res.history[0][-1] < res.history[0][0]
+
+    accs = evaluate(ctx)
+    assert set(accs) == {"train_acc", "val_acc", "test_acc"}
+    assert accs["train_acc"] > 0.8
+
+    # multi-run mean±std (reference tasks/utils.py protocol)
+    ctx, multi = run_multi(ctx, 30, num_runs=2, seed=1)
+    vm, vs, tm, ts_ = multi.mean_std
+    assert len(multi.runs) == 2 and 0.0 < tm <= 1.0 and ts_ >= 0.0
+
+
+def test_spmd_eval_masks_required():
+    from ssrg_tpu.data.synthetic import planetoid_like
+    from ssrg_tpu.models.zoo import load_model
+    from ssrg_tpu.configs.config import ModelConfig
+    from ssrg_tpu.parallel.dist_train import (
+        build_spmd_context, run_epochs_scan,
+    )
+    from ssrg_tpu.parallel.mesh import make_mesh
+
+    ds = planetoid_like(num_node=64, num_classes=3, num_features=8, seed=0,
+                        train_per_class=4, num_val=8, num_test=8)
+    cfg = ModelConfig(model_name="sgc", prop_steps=1, hidden_dim=8)
+    spec = load_model(cfg, ds.num_features, ds.num_classes)
+    mesh = make_mesh((2,), ("graph",), jax.devices()[:2])
+    ctx = build_spmd_context(
+        normalize.sym_norm(ds.adj, 0.5), ds.x, ds.y, ds.train_idx,
+        spec.module, mesh, 1,
+    )
+    with pytest.raises(ValueError, match="val_idx"):
+        run_epochs_scan(ctx, 3)
+
+
+def test_ring_hybrid_propagate_matches_single_device():
+    """Round-5 (VERDICT r4 ask 4): the ppermute ring with per-bucket hybrid
+    packs must reproduce single-device propagation exactly."""
+    from ssrg_tpu.parallel.dist_spmm import (
+        dist_propagate_ring_hybrid,
+        partition_rows_ring_hybrid,
+        shard_adjacency_ring_hybrid,
+    )
+    from ssrg_tpu.parallel.partition import RowPartition, pad_features
+
+    p, x = _graph(seed=9)
+    num_shards = 4
+    mesh = make_mesh((num_shards,), ("graph",), jax.devices()[:num_shards])
+    part = partition_rows_ring_hybrid(p, num_shards)
+    # every edge lands exactly once across ELL slots and tails
+    total = int((part.ell_vals != 0).sum() + (part.tail_vals != 0).sum())
+    assert total == p.nnz
+    adj = shard_adjacency_ring_hybrid(part, mesh)
+    x_pad = np.zeros((part.n_pad, x.shape[1]), np.float32)
+    x_pad[: x.shape[0]] = x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xs = jax.device_put(x_pad, NamedSharding(mesh, P("graph", None)))
+    hops = np.asarray(dist_propagate_ring_hybrid(adj, xs, 3, row_block=8))
+
+    single = np.asarray(propagate(build_coo(p), x, 3))
+    for i in range(4):
+        np.testing.assert_allclose(
+            hops[i][: x.shape[0]], single[i], rtol=3e-5, atol=3e-5
+        )
