@@ -118,6 +118,10 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--transfer_dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--local_engine", default="hybrid",
+                    choices=["hybrid", "coo"],
+                    help="per-bucket SpMM: ELL+COO hybrid (round-5 "
+                         "default) or the segment-sum coo oracle")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing spool/hop artifacts")
     args = ap.parse_args()
@@ -155,12 +159,13 @@ def main() -> int:
     hop_dirs = outofcore_propagate(
         meta, osp.join(root, "features.npy"), args.prop_steps, work,
         verbose=True, transfer_dtype=args.transfer_dtype,
+        local_engine=args.local_engine,
     )
     t_prop = time.perf_counter() - t0
     eps = meta.num_edges * args.prop_steps / max(t_prop, 1e-9)
     emit(phase="propagate", seconds=round(t_prop, 1),
          edges_per_s=round(eps, 1), prop_steps=args.prop_steps,
-         transfer_dtype=args.transfer_dtype)
+         transfer_dtype=args.transfer_dtype, local_engine=args.local_engine)
 
     rng = np.random.default_rng(0)
     tr = rng.choice(args.nodes, 100_000, replace=False)

@@ -85,20 +85,24 @@ def main() -> int:
 
     def measure(name, eng, method="spmm"):
         nonlocal ref
-        out1 = np.asarray(getattr(eng, method)(x)[:4, :4])  # correctness probe
-        if ref is None:
-            ref = out1
-        else:
-            err = float(np.max(np.abs(out1 - ref)))
-            if err > 1e-2:
-                emit(phase="MISMATCH", engine=name, max_err=err)
-        _ = np.asarray(many(eng, x, hops, method))
-        t0 = time.perf_counter()
-        _ = np.asarray(many(eng, x, hops, method))
-        dt = time.perf_counter() - t0
-        emit(phase="measure", engine=name,
-             ms_per_hop=round(dt / hops * 1e3, 2),
-             edges_per_s=round(nnz * hops / dt, 1))
+        try:
+            out1 = np.asarray(getattr(eng, method)(x)[:4, :4])  # probe
+            if ref is None:
+                ref = out1
+            else:
+                err = float(np.max(np.abs(out1 - ref)))
+                if err > 1e-2:
+                    emit(phase="MISMATCH", engine=name, max_err=err)
+            _ = np.asarray(many(eng, x, hops, method))
+            t0 = time.perf_counter()
+            _ = np.asarray(many(eng, x, hops, method))
+            dt = time.perf_counter() - t0
+            emit(phase="measure", engine=name,
+                 ms_per_hop=round(dt / hops * 1e3, 2),
+                 edges_per_s=round(nnz * hops / dt, 1))
+        except Exception as exc:  # noqa: BLE001 — one engine must not kill
+            emit(phase="error", engine=name,
+                 error=f"{type(exc).__name__}: {exc}"[:400])
 
     measure("segment_sum_coo", build_coo(adj))
     measure("hybrid_rest", build_hybrid(adj))

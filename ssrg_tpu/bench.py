@@ -413,21 +413,26 @@ def sharded_tier_metrics(
             )
         )()
 
-        @partial(jax.jit, static_argnames=("iters_",))
-        def many(a, h0, iters_):
-            def it(h, _):
-                hops = dist_propagate_hybrid(a, h, prop_steps)
-                return hops[-1], None
+        total_hops = iters * prop_steps
 
-            final, _ = jax.lax.scan(it, h0, None, length=iters_)
+        @partial(jax.jit, static_argnames=("hops",))
+        def many(a, h0, hops):
+            # one hop per scan step ([1] of the [K+1,...] output) — the
+            # dedicated benchmarks/sharded_overhead_bench.py protocol; a
+            # K-hop call per step would re-materialize the full stacked hop
+            # tensor every iteration and under-report the engine ~4×
+            def it(h, _):
+                return dist_propagate_hybrid(a, h, 1)[1], None
+
+            final, _ = jax.lax.scan(it, h0, None, length=hops)
             return final[0, :2]
 
-        _ = np.asarray(many(sharded, xs, iters))  # compile + warm
+        _ = np.asarray(many(sharded, xs, total_hops))  # compile + warm
         rates = []
         for _i in range(2):
             t0 = time.perf_counter()
-            _ = np.asarray(many(sharded, xs, iters))
-            rates.append(iters * prop_steps * adj.nnz
+            _ = np.asarray(many(sharded, xs, total_hops))
+            rates.append(total_hops * adj.nnz
                          / (time.perf_counter() - t0))
         best = max(rates)
         out["sharded_edges_per_s"] = round(best, 1)

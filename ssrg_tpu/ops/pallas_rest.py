@@ -58,7 +58,7 @@ def _rest_kernel(block_of_ref, rows_ref, g_ref, out_ref):
     accumulated into the (revisited) destination row-block output."""
     p = pl.program_id(0)
     rb = out_ref.shape[0]
-    c = rows_ref.shape[1]
+    c = rows_ref.shape[1] * rows_ref.shape[2]
 
     prev = block_of_ref[jnp.maximum(p - 1, 0)]
 
@@ -66,7 +66,9 @@ def _rest_kernel(block_of_ref, rows_ref, g_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    rows = rows_ref[0]                       # [C] local row ids
+    # rows arrive [8, C//8] (Mosaic block-shape rule: the last two dims of a
+    # VMEM block must be (8k, 128k) or the full array dims); collapse back
+    rows = rows_ref[0].reshape(c)            # [C] local row ids
     g = g_ref[0]                             # [C, F] gathered slab
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (rb, c), 0) == rows[None, :]
@@ -94,6 +96,13 @@ class RestSegmentedAdj:
     n_cols: int
     row_block: int
     interpret: bool = False
+    # gather the neighbor slabs in bf16 (halves phase-1 traffic; the one-hot
+    # matmul accumulates f32 regardless)
+    gather_bf16: bool = False
+    # which executor `spmm` dispatches to ("xla" | "pallas") — the engine
+    # protocol every Adj class shares is `.spmm`, so TiledAdj rest slots and
+    # the autotuner pick the executor here
+    default_executor: str = "xla"
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -113,21 +122,31 @@ class RestSegmentedAdj:
 
     def _gather(self, x):
         """[P, C, F] neighbor slabs (the XLA gather phase)."""
+        if self.gather_bf16:
+            x = x.astype(jnp.bfloat16)
         g = jnp.take(x, self.cols.reshape(-1), axis=0)
-        g = g * self.vals.reshape(-1)[:, None]
+        g = g * self.vals.reshape(-1)[:, None].astype(g.dtype)
         return g.reshape(self.num_chunks, self.chunk, x.shape[1])
 
     def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Dispatch to the configured executor (`default_executor`)."""
+        if self.default_executor == "pallas":
+            return self.spmm_pallas(x)
+        return self.spmm_xla(x)
+
+    def spmm_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         """XLA executor: scan over chunk pairs, one-hot matmul reduce,
         dynamic-slice accumulation — scatter-free end to end."""
         rb = self.row_block
         f = x.shape[1]
         nb = self.nb
+        if self.gather_bf16:
+            x = x.astype(jnp.bfloat16)
         iota = jax.lax.broadcasted_iota(jnp.int32, (rb, self.chunk), 0)
 
         def pair(acc, inputs):
             rows, cols, vals, blk = inputs
-            g = jnp.take(x, cols, axis=0) * vals[:, None]
+            g = jnp.take(x, cols, axis=0) * vals[:, None].astype(x.dtype)
             onehot = (iota == rows[None, :]).astype(x.dtype)
             y = jnp.dot(onehot, g, preferred_element_type=jnp.float32)
             row0 = blk * rb
@@ -150,13 +169,14 @@ class RestSegmentedAdj:
         x_p = jnp.pad(x, ((0, 0), (0, f - f_in))) if f != f_in else x
         g = self._gather(x_p)                 # [P, C, F]
         p_chunks = self.num_chunks
+        rows3 = self.rows.reshape(p_chunks, 8, self.chunk // 8)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(p_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, self.chunk), lambda p, blk: (p, 0),
+                    (1, 8, self.chunk // 8), lambda p, blk: (p, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -174,12 +194,13 @@ class RestSegmentedAdj:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((self.nb * rb, f), jnp.float32),
             interpret=self.interpret,
-        )(self.block_of, self.rows, g)
+        )(self.block_of, rows3, g)
         return out[: self.n_rows, :f_in]
 
     def tree_flatten(self):
         return (self.rows, self.cols, self.vals, self.block_of), (
             self.n_rows, self.n_cols, self.row_block, self.interpret,
+            self.gather_bf16, self.default_executor,
         )
 
     @classmethod
@@ -192,6 +213,8 @@ def build_rest_segmented(
     row_block: int = 256,
     chunk: int = 512,
     interpret: Optional[bool] = None,
+    gather_bf16: bool = False,
+    default_executor: str = "auto",
 ) -> RestSegmentedAdj:
     """Host pack: sort edges by destination row, bucket by row block, pad
     each block's edge list to a ``chunk`` multiple (pad entries: row 0 of
@@ -237,11 +260,16 @@ def build_rest_segmented(
         block_of = [np.zeros(1, np.int32)]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if default_executor == "auto":
+        # the Pallas kernel is the measured winner on the real Mosaic
+        # backend; interpret-mode Pallas is only a correctness tier
+        default_executor = "pallas" if not interpret else "xla"
     return RestSegmentedAdj(
         rows=jnp.asarray(np.concatenate(rows_chunks), jnp.int32),
         cols=jnp.asarray(np.concatenate(cols_chunks), jnp.int32),
         vals=jnp.asarray(np.concatenate(vals_chunks)),
         block_of=jnp.asarray(np.concatenate(block_of)),
         n_rows=n_rows, n_cols=n_cols, row_block=row_block,
-        interpret=interpret,
+        interpret=interpret, gather_bf16=gather_bf16,
+        default_executor=default_executor,
     )

@@ -647,8 +647,12 @@ def build_tiled(
 
     ``rest_engine``: layout for the scattered leftovers — ``"hybrid"``
     (ELL+COO gather over the full table), ``"blockcoo"`` (2-D bucketed COO:
-    small-window gathers — the right choice once X outgrows gather-cache
-    reach), or ``"auto"`` (blockcoo when n > 512k).
+    small-window gathers), ``"onehot"`` (round-5: the scatter-free
+    segmented reduce of ``ops.pallas_rest`` — one-hot MXU matmuls via the
+    Pallas revisited-output kernel, measured 55.0 M edges/s vs the 34-45 M
+    segment_sum family on the products-scale scattered-rest matrix,
+    docs/PERFORMANCE.md), or ``"auto"`` (onehot when n > 512k on TPU,
+    blockcoo on other backends, hybrid below).
 
     ``device_scatter`` (default True) materializes the dense tile array ON DEVICE by
     scattering one compact (slot, offset, value) tuple per dense edge
@@ -733,11 +737,25 @@ def build_tiled(
             (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
         ).tocsr()
     if rest_engine == "auto":
-        rest_engine = "blockcoo" if n > (1 << 19) else "hybrid"
-    rest_dev = (
-        build_blockcoo(rest) if rest_engine == "blockcoo"
-        else build_hybrid(rest)
-    )
+        if n > (1 << 19):
+            # the scatter-free one-hot kernel is the measured-fastest rest
+            # tier on TPU; its Pallas path needs the real Mosaic backend
+            rest_engine = (
+                "onehot" if jax.default_backend() == "tpu" else "blockcoo"
+            )
+        else:
+            rest_engine = "hybrid"
+    if rest_engine == "onehot":
+        from ssrg_tpu.ops.pallas_rest import build_rest_segmented
+
+        # chunk=1024 is the Mosaic-friendly chunk (the [8, 128] rows block);
+        # row_block=1024 was the measured sweep winner (61.6 M edges/s,
+        # benchmarks/rest_scatterfree_sweep2.py)
+        rest_dev = build_rest_segmented(rest, row_block=1024, chunk=1024)
+    elif rest_engine == "blockcoo":
+        rest_dev = build_blockcoo(rest)
+    else:
+        rest_dev = build_hybrid(rest)
     return TiledAdj(
         tiles_dev, jnp.asarray(pair_start),
         jnp.asarray(blocks_of_pairs.astype(np.int32)),

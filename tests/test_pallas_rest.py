@@ -101,3 +101,21 @@ def test_pytree_jit_argument():
 
     got = np.asarray(f(eng, x))
     np.testing.assert_allclose(got, adj @ x, rtol=2e-4, atol=2e-4)
+
+
+def test_tiled_with_onehot_rest_matches_dense():
+    """build_tiled(rest_engine='onehot') — the round-5 default at large N
+    on TPU — must match the dense oracle (CPU: XLA executor)."""
+    from ssrg_tpu.data.synthetic import sbm_graph
+    from ssrg_tpu.ops.normalize import sym_norm
+    from ssrg_tpu.ops.sparse import build_tiled
+
+    g = sbm_graph(num_node=600, num_classes=6, num_features=4,
+                  p_in=0.2, p_out=0.01, seed=3)
+    adj = sym_norm(g.adj, 0.5)
+    eng = build_tiled(adj, row_block=8, tile_cols=16, min_edges_per_tile=4,
+                      device_scatter=False, rest_engine="onehot")
+    assert type(eng.rest).__name__ == "RestSegmentedAdj"
+    x = np.random.default_rng(0).normal(size=(600, 24)).astype(np.float32)
+    got = np.asarray(eng.spmm(jnp.asarray(x)))
+    np.testing.assert_allclose(got, adj @ x, rtol=2e-4, atol=2e-4)
