@@ -76,6 +76,11 @@ def main() -> int:
                     help="hierarchical HEM merge budget(s) (0 = flat LPA); "
                          "several values sweep in ONE process (one relay "
                          "claim)")
+    ap.add_argument("--rest_engine", default="auto",
+                    choices=("auto", "hybrid", "blockcoo", "onehot"))
+    ap.add_argument("--rest_gather_bf16", action="store_true",
+                    help="onehot rest: gather the slab in bf16 (halves its "
+                         "HBM footprint; measured speed-neutral)")
     ap.add_argument("--fraction_only", action="store_true",
                     help="host-side tiled_fraction ablation (numpy only — "
                          "jax backend never initialized, so the TPU relay "
@@ -171,7 +176,10 @@ def main() -> int:
 
         t0 = time.perf_counter()
         tiled = build_tiled(adj_p, dtype=jnp.bfloat16, device_scatter=True,
-                            mem_budget_bytes=8 << 30)
+                            mem_budget_bytes=8 << 30,
+                            rest_engine=args.rest_engine)
+        if args.rest_gather_bf16 and type(tiled.rest).__name__ == "RestSegmentedAdj":
+            tiled.rest.gather_bf16 = True
         jax.tree_util.tree_leaves(tiled)[0].block_until_ready()
         nb, p_num, tile_elems = tiled.tile_stats
         emit(phase="build_tiled", merge_target=mt,

@@ -159,10 +159,31 @@ class RestSegmentedAdj:
         )
         return out[: self.n_rows]
 
+    # phase-1 materializes the [P, C, F] gathered slab in HBM before the
+    # kernel consumes it; above this budget refuse with a remedy instead of
+    # OOMing mid-jit (wavelet-guard contract). products-scale rests (~10M
+    # edges, F=128) sit near 6 GB f32; papers100M-scale rests must shard
+    # first (the distributed tiled engine) or gather bf16.
+    MAX_GATHER_BYTES = 10 << 30
+
     def spmm_pallas(self, x: jnp.ndarray) -> jnp.ndarray:
         """Pallas executor: gather in XLA, segmented reduce in a kernel with
         revisited-output accumulation (no XLA scatter, slab stream pipelined
         by BlockSpecs)."""
+        itemsize = 2 if self.gather_bf16 else 4
+        f_pad = (x.shape[1] + 127) // 128 * 128
+        g_bytes = self.num_chunks * self.chunk * f_pad * itemsize
+        if g_bytes > self.MAX_GATHER_BYTES:
+            raise ValueError(
+                f"pallas rest engine would materialize a "
+                f"{g_bytes / 2**30:.1f} GiB gathered slab "
+                f"({self.num_chunks} chunks x {self.chunk} x {f_pad} "
+                f"@ {itemsize} B) > the {self.MAX_GATHER_BYTES / 2**30:.0f} "
+                f"GiB budget. Remedies: gather_bf16=True (halves it), "
+                f"row-partition the graph first (parallel.partition — each "
+                f"shard's rest shrinks D-fold), or use the hybrid/blockcoo "
+                f"rest engines which stream without materializing."
+            )
         rb = self.row_block
         f_in = x.shape[1]
         f = f_in if f_in % 128 == 0 else (f_in + 127) // 128 * 128
@@ -264,9 +285,13 @@ def build_rest_segmented(
         # the Pallas kernel is the measured winner on the real Mosaic
         # backend; interpret-mode Pallas is only a correctness tier
         default_executor = "pallas" if not interpret else "xla"
+    # int32 conversion happens on HOST: jnp.asarray(int64_array, int32)
+    # transfers the int64 array and converts on device — double the
+    # transfer bytes plus a device temp, observed as the OOM tipping point
+    # at products scale
     return RestSegmentedAdj(
-        rows=jnp.asarray(np.concatenate(rows_chunks), jnp.int32),
-        cols=jnp.asarray(np.concatenate(cols_chunks), jnp.int32),
+        rows=jnp.asarray(np.concatenate(rows_chunks).astype(np.int32)),
+        cols=jnp.asarray(np.concatenate(cols_chunks).astype(np.int32)),
         vals=jnp.asarray(np.concatenate(vals_chunks)),
         block_of=jnp.asarray(np.concatenate(block_of)),
         n_rows=n_rows, n_cols=n_cols, row_block=row_block,

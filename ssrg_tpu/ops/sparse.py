@@ -649,10 +649,10 @@ def build_tiled(
     (ELL+COO gather over the full table), ``"blockcoo"`` (2-D bucketed COO:
     small-window gathers), ``"onehot"`` (round-5: the scatter-free
     segmented reduce of ``ops.pallas_rest`` — one-hot MXU matmuls via the
-    Pallas revisited-output kernel, measured 55.0 M edges/s vs the 34-45 M
+    Pallas revisited-output kernel, measured 61.6 M edges/s vs the 34-45 M
     segment_sum family on the products-scale scattered-rest matrix,
-    docs/PERFORMANCE.md), or ``"auto"`` (onehot when n > 512k on TPU,
-    blockcoo on other backends, hybrid below).
+    docs/PERFORMANCE.md), or ``"auto"`` (n > 512k: onehot on TPU while its
+    gathered slab fits a ~3 GiB estimate, else blockcoo; hybrid below).
 
     ``device_scatter`` (default True) materializes the dense tile array ON DEVICE by
     scattering one compact (slot, offset, value) tuple per dense edge
@@ -707,6 +707,46 @@ def build_tiled(
     dense_idx = np.where(dense_set)[0]
     pair_rank = np.searchsorted(dense_pairs, pair_key[dense_idx])
 
+    # scattered leftovers — built and shipped BEFORE the multi-GB tile
+    # scatter so the rest transfers never contend with the scatter's
+    # transient lane-padded index temps (round-5 OOM at products scale)
+    rest_mask = ~dense_set
+    rest = sp.coo_matrix(
+        (data[rest_mask], (rows_of[rest_mask], cols[rest_mask])), shape=(n, m)
+    ).tocsr()
+    # the rest engines require at least one edge; synthesize a zero-weight one
+    if rest.nnz == 0:
+        rest = sp.coo_matrix(
+            (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
+        ).tocsr()
+    if rest_engine == "auto":
+        if n > (1 << 19):
+            # the scatter-free one-hot kernel is the measured-fastest rest
+            # tier on TPU (61.6 M edges/s, docs/PERFORMANCE.md), but its
+            # gathered slab materializes ~(nnz·1.2)·F·4 B in HBM — cap the
+            # auto choice at a slab estimate (F=128 assumption) that leaves
+            # room for tiles + features; larger rests keep blockcoo, and
+            # rest_engine="onehot" (optionally with gather_bf16) stays an
+            # explicit opt-in for full-HBM deployments
+            slab_est = int(rest.nnz * 1.25) * 128 * 4
+            on_tpu = jax.default_backend() == "tpu"
+            rest_engine = (
+                "onehot" if on_tpu and slab_est <= (3 << 30) else "blockcoo"
+            )
+        else:
+            rest_engine = "hybrid"
+    if rest_engine == "onehot":
+        from ssrg_tpu.ops.pallas_rest import build_rest_segmented
+
+        # chunk=1024 is the Mosaic-friendly chunk (the [8, 128] rows block);
+        # row_block=1024 was the measured sweep winner (61.6 M edges/s,
+        # benchmarks/rest_scatterfree_sweep2.py)
+        rest_dev = build_rest_segmented(rest, row_block=1024, chunk=1024)
+    elif rest_engine == "blockcoo":
+        rest_dev = build_blockcoo(rest)
+    else:
+        rest_dev = build_hybrid(rest)
+
     if device_scatter:
         off_of_edge = (
             local_r[dense_idx] * tile_cols
@@ -725,37 +765,6 @@ def build_tiled(
             cols[dense_idx] - pair_start[pair_rank],
         ] = data[dense_idx]
         tiles_dev = jnp.asarray(tiles, dtype=dtype)
-
-    # scattered leftovers
-    rest_mask = ~dense_set
-    rest = sp.coo_matrix(
-        (data[rest_mask], (rows_of[rest_mask], cols[rest_mask])), shape=(n, m)
-    ).tocsr()
-    # the rest engines require at least one edge; synthesize a zero-weight one
-    if rest.nnz == 0:
-        rest = sp.coo_matrix(
-            (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
-        ).tocsr()
-    if rest_engine == "auto":
-        if n > (1 << 19):
-            # the scatter-free one-hot kernel is the measured-fastest rest
-            # tier on TPU; its Pallas path needs the real Mosaic backend
-            rest_engine = (
-                "onehot" if jax.default_backend() == "tpu" else "blockcoo"
-            )
-        else:
-            rest_engine = "hybrid"
-    if rest_engine == "onehot":
-        from ssrg_tpu.ops.pallas_rest import build_rest_segmented
-
-        # chunk=1024 is the Mosaic-friendly chunk (the [8, 128] rows block);
-        # row_block=1024 was the measured sweep winner (61.6 M edges/s,
-        # benchmarks/rest_scatterfree_sweep2.py)
-        rest_dev = build_rest_segmented(rest, row_block=1024, chunk=1024)
-    elif rest_engine == "blockcoo":
-        rest_dev = build_blockcoo(rest)
-    else:
-        rest_dev = build_hybrid(rest)
     return TiledAdj(
         tiles_dev, jnp.asarray(pair_start),
         jnp.asarray(blocks_of_pairs.astype(np.int32)),
@@ -766,10 +775,12 @@ def build_tiled(
 
 # edges per scatter dispatch: TPU lays [E, 2] scatter indices out with lane
 # padding 2 -> 128 (a 64x blowup: observed 22.7 GB of index copy at E=44M),
-# so the device scatter is CHUNKED — each chunk's temp stays ~2 GB and the
+# so the device scatter is CHUNKED — each chunk's temp stays ~1.5 GB and the
 # accumulator buffer is donated across chunks (no per-chunk copy of the
-# multi-GiB tile array).
-_SCATTER_EDGE_CHUNK = 4_000_000
+# multi-GiB tile array). Round-5: halved from 4M — through the relay the
+# donation+temp peak at 4M-edge chunks sat at the memory ceiling at
+# products scale.
+_SCATTER_EDGE_CHUNK = 1_000_000
 
 
 @partial(jax.jit, static_argnames=("dtype",), donate_argnums=(0,))
@@ -821,6 +832,10 @@ def _tile_scatter_chunked(
                 flat, jnp.asarray(pr), jnp.asarray(of), jnp.asarray(va),
                 dtype=dtype,
             )
+            # NOTE do NOT fetch/sync flat between chunks: a reader on the
+            # donated accumulator forces XLA to COPY the multi-GiB buffer
+            # per chunk (measured round-5 OOM at products scale); the async
+            # chain donates cleanly when left alone
     return _tile_reshape(flat, p_num, row_block, tile_cols)
 
 

@@ -119,3 +119,18 @@ def test_tiled_with_onehot_rest_matches_dense():
     x = np.random.default_rng(0).normal(size=(600, 24)).astype(np.float32)
     got = np.asarray(eng.spmm(jnp.asarray(x)))
     np.testing.assert_allclose(got, adj @ x, rtol=2e-4, atol=2e-4)
+
+
+def test_gather_budget_guard():
+    """Above the slab budget the Pallas executor refuses with a remedy
+    (wavelet-guard contract) instead of OOMing mid-jit."""
+    adj = _rest(n=300, seed=11)
+    eng = build_rest_segmented(adj, row_block=64, chunk=128, interpret=True)
+    x = jnp.zeros((300, 16), jnp.float32)
+    old = RestSegmentedAdj.MAX_GATHER_BYTES
+    try:
+        RestSegmentedAdj.MAX_GATHER_BYTES = 1024
+        with pytest.raises(ValueError, match="gather_bf16"):
+            eng.spmm_pallas(x)
+    finally:
+        RestSegmentedAdj.MAX_GATHER_BYTES = old
