@@ -634,6 +634,7 @@ def build_tiled(
     min_tiled_fraction: float = 0.25,
     device_scatter: bool = True,
     rest_engine: str = "auto",
+    rest_gather_bf16: bool = False,
 ) -> TiledAdj:
     """Pack a clustered adjacency into dense tiles + hybrid leftovers.
 
@@ -720,28 +721,25 @@ def build_tiled(
             (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
         ).tocsr()
     if rest_engine == "auto":
-        if n > (1 << 19):
-            # the scatter-free one-hot kernel is the measured-fastest rest
-            # tier on TPU (61.6 M edges/s, docs/PERFORMANCE.md), but its
-            # gathered slab materializes ~(nnz·1.2)·F·4 B in HBM — cap the
-            # auto choice at a slab estimate (F=128 assumption) that leaves
-            # room for tiles + features; larger rests keep blockcoo, and
-            # rest_engine="onehot" (optionally with gather_bf16) stays an
-            # explicit opt-in for full-HBM deployments
-            slab_est = int(rest.nnz * 1.25) * 128 * 4
-            on_tpu = jax.default_backend() == "tpu"
-            rest_engine = (
-                "onehot" if on_tpu and slab_est <= (3 << 30) else "blockcoo"
-            )
-        else:
-            rest_engine = "hybrid"
+        # the scatter-free one-hot tier (61.6 M edges/s standalone,
+        # docs/PERFORMANCE.md) stays OPT-IN rather than the auto default:
+        # measured round-5, its f32 slab inside the tiled COMPOSITE
+        # collapses to ~15 M edges/s (a Mosaic/XLA scheduling pathology the
+        # bf16 slab does not exhibit: 192 M at 1M flat, 273 M at nested
+        # products), and silently switching the default to a bf16-rounding
+        # path is not acceptable. The spmm_bf16 fast tier — where the user
+        # already opted into bf16 on the precompute — selects
+        # onehot+gather_bf16 explicitly (train/node_classification.prepare).
+        rest_engine = "blockcoo" if n > (1 << 19) else "hybrid"
     if rest_engine == "onehot":
         from ssrg_tpu.ops.pallas_rest import build_rest_segmented
 
         # chunk=1024 is the Mosaic-friendly chunk (the [8, 128] rows block);
         # row_block=1024 was the measured sweep winner (61.6 M edges/s,
         # benchmarks/rest_scatterfree_sweep2.py)
-        rest_dev = build_rest_segmented(rest, row_block=1024, chunk=1024)
+        rest_dev = build_rest_segmented(
+            rest, row_block=1024, chunk=1024, gather_bf16=rest_gather_bf16,
+        )
     elif rest_engine == "blockcoo":
         rest_dev = build_blockcoo(rest)
     else:

@@ -180,6 +180,14 @@ def prepare(
             engine_kwargs["dtype"] = jnp.bfloat16
             if dense_engine == "pallas_banded":
                 engine_kwargs.update(window_bf16=True, row_block=512)
+            elif dense_engine == "tiled":
+                # the user opted into bf16 rounding on the precompute: run
+                # the scatter-free one-hot rest with a bf16 slab — the
+                # measured round-5 composite winner (273 M edges/s at
+                # nested products vs 186 M with blockcoo; the f32-slab
+                # variant is a measured pathology, docs/PERFORMANCE.md)
+                engine_kwargs["rest_engine"] = "onehot"
+                engine_kwargs["rest_gather_bf16"] = True
         perm = reorder_permutation(adj_norm, method,
                                    merge_target=merge_target)
         adj_p, x_p, _, inverse = apply_permutation(
