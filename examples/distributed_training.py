@@ -40,10 +40,17 @@ def main():
     from ssrg_tpu.models.zoo import load_model
     from ssrg_tpu.ops.normalize import sym_norm
     from ssrg_tpu.parallel.mesh import make_mesh
-    from ssrg_tpu.parallel.dist_train import build_spmd_context, run_steps
+    from ssrg_tpu.parallel.dist_train import (
+        build_spmd_context, run_epochs_scan,
+    )
 
     mesh = make_mesh((args.shards,), ("graph",), jax.devices()[: args.shards])
-    ds = planetoid_like(num_node=args.nodes, num_classes=5, num_features=64)
+    # community-structured SBM (communities smaller than a shard block) so
+    # the cluster reorder gives the halo plan something to exploit — on a
+    # structureless graph the halo saturates and build_spmd_context warns
+    ds = planetoid_like(num_node=args.nodes,
+                        num_classes=max(2 * args.shards, 5),
+                        num_features=64, p_in=0.3, p_out=0.0004)
     cfg = ModelConfig(model_name="gamlp", prop_steps=3, hidden_dim=64)
     spec = load_model(cfg, ds.num_features, ds.num_classes)
     # round-4 fast path: cluster-aligned partition so shard boundaries follow
@@ -59,10 +66,15 @@ def main():
         mesh, cfg.prop_steps, lr=0.01,
         local_engine=args.local_engine, comm=comm,
         reorder=None if args.local_engine == "coo" else "cluster",
+        val_idx=ds.val_idx, test_idx=ds.test_idx,
     )
-    ctx, loss = run_steps(ctx, args.steps)
+    # round-5 production shape: hops precomputed once under the mesh, then
+    # ONE scanned dispatch trains all epochs with best-val->test tracking
+    ctx, res = run_epochs_scan(ctx, args.steps)
     print(f"{args.shards}-shard SPMD training ({args.local_engine}/{comm}): "
-          f"{args.steps} steps, final loss {loss:.4f}")
+          f"{args.steps} epochs in one dispatch, "
+          f"loss {res.history[0][0]:.4f} -> {res.final_loss:.4f}, "
+          f"best val {res.best_val:.4f}, best test {res.best_test:.4f}")
 
 
 if __name__ == "__main__":
