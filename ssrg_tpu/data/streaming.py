@@ -69,6 +69,7 @@ def stream_partition(
     r: float = 0.5,
     chunk_edges: int = 1 << 24,
     row_align: int = 8,
+    fast_layout: bool = True,
 ) -> StreamingGraphMeta:
     """Pass 2: bucket sym-normalized edges (both directions + self loops) by
     destination row block into per-shard spool files.
@@ -124,7 +125,11 @@ def stream_partition(
     for f in spools:
         f.close()
     meta = StreamingGraphMeta(num_nodes, total, block, num_shards, spool_dir)
-    finalize_spool_fast_layout(meta)
+    if fast_layout:
+        # one extra O(E) streaming pass; skippable when only the coo oracle
+        # tier will consume the spools (the fast-path loaders recompute the
+        # side files on demand if absent)
+        finalize_spool_fast_layout(meta)
     return meta
 
 

@@ -225,3 +225,31 @@ def test_two_process_cpu_run(spooled):
         losses.append(float(line.split()[1]))
     assert np.isfinite(losses[0])
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
+def test_fast_layout_recomputed_for_old_spools(spooled, tmp_path):
+    """Pre-round-5 spools (no fast_meta.json / halo_<d>.npy) must still feed
+    the fast path: the loaders recompute the side files on demand."""
+    import shutil
+
+    from ssrg_tpu.data.streaming import (
+        StreamingGraphMeta, load_spool_fast_meta, load_spool_halo_cols,
+    )
+
+    root, meta, g, _ = spooled
+    old_dir = tmp_path / "old_spool"
+    shutil.copytree(meta.spool_dir, old_dir)
+    for p in old_dir.glob("fast_meta.json"):
+        p.unlink()
+    for p in old_dir.glob("halo_*.npy"):
+        p.unlink()
+    old_meta = StreamingGraphMeta(
+        meta.num_nodes, meta.num_edges, meta.block, meta.num_shards,
+        str(old_dir),
+    )
+    fast = load_spool_fast_meta(old_meta)
+    assert fast["width"] >= 8 and len(fast["tail_sizes"]) == meta.num_shards
+    halos = load_spool_halo_cols(old_meta)
+    ref = load_spool_halo_cols(meta)
+    for a, b in zip(halos, ref):
+        np.testing.assert_array_equal(a, b)
