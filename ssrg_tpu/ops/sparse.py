@@ -721,16 +721,24 @@ def build_tiled(
             (np.zeros(1, np.float32), ([0], [0])), shape=(n, m)
         ).tocsr()
     if rest_engine == "auto":
-        # the scatter-free one-hot tier (61.6 M edges/s standalone,
-        # docs/PERFORMANCE.md) stays OPT-IN rather than the auto default:
-        # measured round-5, its f32 slab inside the tiled COMPOSITE
-        # collapses to ~15 M edges/s (a Mosaic/XLA scheduling pathology the
-        # bf16 slab does not exhibit: 192 M at 1M flat, 273 M at nested
-        # products), and silently switching the default to a bf16-rounding
-        # path is not acceptable. The spmm_bf16 fast tier — where the user
-        # already opted into bf16 on the precompute — selects
-        # onehot+gather_bf16 explicitly (train/node_classification.prepare).
-        rest_engine = "blockcoo" if n > (1 << 19) else "hybrid"
+        if n > (1 << 19):
+            # the scatter-free one-hot tier is the measured-fastest rest on
+            # TPU (61.6 M edges/s standalone; composite 193.9 M at 1M flat,
+            # benchmarks/onehot_composite_probe.py — an earlier 13×-slower
+            # composite reading was a degraded-TPU-worker artifact, see
+            # docs/PERFORMANCE.md). Its gathered slab materializes
+            # ~(nnz·1.2)·F·4 B in HBM, so the auto choice is gated on a
+            # slab estimate (F=128 assumption) that leaves room for tiles +
+            # features; larger rests keep blockcoo, and explicit
+            # rest_engine="onehot" (+ gather_bf16 to halve the slab)
+            # remains available for full-HBM deployments.
+            slab_est = int(rest.nnz * 1.25) * 128 * 4
+            on_tpu = jax.default_backend() == "tpu"
+            rest_engine = (
+                "onehot" if on_tpu and slab_est <= (3 << 30) else "blockcoo"
+            )
+        else:
+            rest_engine = "hybrid"
     if rest_engine == "onehot":
         from ssrg_tpu.ops.pallas_rest import build_rest_segmented
 

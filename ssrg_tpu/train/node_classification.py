@@ -184,8 +184,8 @@ def prepare(
                 # the user opted into bf16 rounding on the precompute: run
                 # the scatter-free one-hot rest with a bf16 slab — the
                 # measured round-5 composite winner (273 M edges/s at
-                # nested products vs 186 M with blockcoo; the f32-slab
-                # variant is a measured pathology, docs/PERFORMANCE.md)
+                # nested products vs 186 M with blockcoo), with half the
+                # slab HBM of the f32 variant (docs/PERFORMANCE.md)
                 engine_kwargs["rest_engine"] = "onehot"
                 engine_kwargs["rest_gather_bf16"] = True
         perm = reorder_permutation(adj_norm, method,
